@@ -1,0 +1,87 @@
+"""Politeness scheduler: the Window-rank priority queue (north_rule O1+O2).
+
+The reference rate-limits with per-request sleeps —
+``time.sleep(randrange(a,b))`` (reference: core/spider.py:251-263,
+spiders/bilibili/spiders.py:427, spiders/xhs/spiders.py:118).  On a cluster,
+politeness is a *budget*, not a wall-clock sleep: each round fetches at most
+``budget_per_round`` URLs per host, picked by
+
+    row_number() OVER (PARTITION BY host
+                       ORDER BY priority, discovery_round, canonical_url)
+
+The deterministic tiebreak reproduces the reference's sequential FIFO order
+per source (ascending page_no / cursor-chain order emerge naturally because
+a successor is always discovered one round after its parent).
+
+Skew (SURVEY §4.4 — a single hot API host can dominate the frontier): the
+salted two-phase variant first ranks within (host, salt) sub-partitions so
+no single task sorts the whole hot host, keeps the per-salt top ``budget``,
+then runs the exact window over that ≤ salt_n × budget survivor set per
+host.  Identical output, bounded per-task work at any skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["priority", "discovery_round", "canonical_url"]
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop URLs whose path matches a disallow prefix for their host.
+
+    robots is a small dimension -> broadcast join, never a shuffle of the
+    frontier (SURVEY §2.4 host-key operations).
+    """
+    if robots is None:
+        return frontier
+    path = F.regexp_extract(
+        F.col("canonical_url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1
+    )
+    joined = frontier.join(
+        F.broadcast(robots.select("host", "disallow")), on="host", how="left"
+    )
+    blocked = F.exists(
+        F.col("disallow"), lambda d: F.startswith(path, d)
+    )
+    return joined.filter(~F.coalesce(blocked, F.lit(False))).drop("disallow")
+
+
+def _with_budget(frontier: DataFrame, host_budget: DataFrame | None,
+                 default_budget: int) -> DataFrame:
+    if host_budget is None:
+        return frontier.withColumn("budget", F.lit(default_budget))
+    j = frontier.join(
+        F.broadcast(host_budget.select("host", "budget_per_round")),
+        on="host",
+        how="left",
+    )
+    return j.withColumn(
+        "budget", F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
+    ).drop("budget_per_round")
+
+
+def schedule_round(
+    frontier: DataFrame,
+    host_budget: DataFrame | None = None,
+    default_budget: int = 2,
+    salt_n: int = 1,
+) -> DataFrame:
+    """Pick this round's fetch set: top-``budget`` per host in priority order."""
+    wb = _with_budget(frontier, host_budget, default_budget)
+    if salt_n > 1:
+        # phase 1: bounded pre-rank within (host, salt) — kills hot-host skew
+        salt = F.pmod(F.col("url_hash"), F.lit(salt_n))
+        w1 = Window.partitionBy("host", salt).orderBy(*ORDER_COLS)
+        wb = (
+            wb.withColumn("_pre_rank", F.row_number().over(w1))
+            .filter(F.col("_pre_rank") <= F.col("budget"))
+            .drop("_pre_rank")
+        )
+    w = Window.partitionBy("host").orderBy(*ORDER_COLS)
+    return (
+        wb.withColumn("sched_rank", F.row_number().over(w))
+        .filter(F.col("sched_rank") <= F.col("budget"))
+        .drop("budget")
+    )

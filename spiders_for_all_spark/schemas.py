@@ -1,0 +1,144 @@
+"""Explicit StructType schemas for every engine table — never inferred.
+
+The reference fixes schemas with SQLAlchemy declarative models
+(reference: spiders_for_all/database/schema.py:16-37 and the per-spider
+schema modules); we fix them with Spark StructTypes.  The ``documents``
+span shape is mandated by BASELINE.json's input_hint:
+``(doc_id string, spans array<struct<kind,text,media_ref,offset>>)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Span / documents — the canonical interleaved text+media output table.
+# kind values follow the reference MediaType enum (core/media.py:7-11):
+# text | image | video | audio.
+SPAN = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Frontier — one row per URL awaiting fetch.  State that the reference keeps
+# on mutable spider objects (cursor / page counters — core/spider.py:295-327,
+# spiders/xhs/spiders.py:276-308) lives in columns here instead.
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("canonical_url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("discovery_round", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("cursor", T.StringType(), True),
+        T.StructField("page_no", T.IntegerType(), True),
+        T.StructField("kind", T.StringType(), False),
+    ]
+)
+
+# URL-seen set.  bucket = pmod(url_hash, n_buckets) partitions the bloom
+# bitmaps (operators/dedup.py).
+SEEN = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow", T.ArrayType(T.StringType()), False),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+    ]
+)
+
+HOST_BUDGET = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("budget_per_round", T.IntegerType(), False),
+        T.StructField("salt_n", T.IntegerType(), False),
+    ]
+)
+
+# Per-fetch lineage + metrics (success/failure counters the reference keeps
+# as in-memory tallies — core/downloader.py:501-502 — become queryable rows).
+FETCH_LOG = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("code", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("attempt", T.IntegerType(), False),
+        T.StructField("latency_ms", T.IntegerType(), True),
+        T.StructField("partition_id", T.IntegerType(), True),
+        T.StructField("dead_letter", T.BooleanType(), False),
+    ]
+)
+
+# The synthetic site served by the deterministic test fetcher: one row per
+# fetchable URL (FIXTURES.md §2).  Envelope fields mirror the reference wire
+# formats (bilibili {code,data,message} — spiders/bilibili/models.py:12-21;
+# xhs {code,data,message,success} — spiders/xhs/models.py:11-19).
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("code", T.IntegerType(), False),
+        T.StructField("success", T.BooleanType(), False),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("has_more", T.BooleanType(), False),
+        T.StructField("next_cursor", T.StringType(), True),
+        T.StructField("items_count", T.IntegerType(), False),
+        T.StructField("out_links", T.ArrayType(T.StringType()), False),
+        T.StructField("latency_ms", T.IntegerType(), False),
+        T.StructField("fail_times", T.IntegerType(), False),
+    ]
+)
+
+# Fetch result = scheduled frontier row + fetch columns (what the fetch
+# mapInPandas stage appends).
+FETCH_RESULT_FIELDS = [
+    T.StructField("status", T.IntegerType(), True),
+    T.StructField("code", T.IntegerType(), True),
+    T.StructField("success", T.BooleanType(), True),
+    T.StructField("body", T.StringType(), True),
+    T.StructField("has_more", T.BooleanType(), True),
+    T.StructField("next_cursor", T.StringType(), True),
+    T.StructField("items_count", T.IntegerType(), True),
+    T.StructField("out_links", T.ArrayType(T.StringType()), True),
+    T.StructField("latency_ms", T.IntegerType(), True),
+    T.StructField("error", T.StringType(), True),
+    T.StructField("partition_id", T.IntegerType(), True),
+]
+
+FETCH_RESULT = T.StructType(list(FRONTIER.fields) + FETCH_RESULT_FIELDS)
+
+# Parsed per-item rows before document assembly: one row per (doc, span).
+PARSED_SPANS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)

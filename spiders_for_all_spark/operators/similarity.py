@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns: brute-force top-k + LSH ANN.
+
+Scale design: brute-force cosine is the correctness baseline (a single
+narrow scan + TakeOrderedAndProject — Catalyst turns orderBy+limit into a
+per-partition top-k, no full sort).  The scale path buckets both sides with
+sign-random-projection LSH so each query only scores its bucket; multiprobe
+(flipping one bit) trades compute for recall.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.functions.vectors import cosine_rounded, lsh_bucket
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    orderBy+limit compiles to TakeOrderedAndProject: each partition keeps a
+    k-heap, the driver merges — no global sort at any scale.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def brute_force_topk_per_query(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Batch variant: broadcast the (small) query set, window top-k per query."""
+    from pyspark.sql import Window
+
+    joined = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_rounded(F.col(vec_col), F.col(q_vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (plus 1-bit-flip neighbor buckets when multiprobe), exact cosine inside.
+
+    At 10^9 vectors with 6 planes this scores ~n/64 · 7 candidates instead
+    of n — the partition-pruned IVF analog, expressed as a plain filter so
+    Catalyst pushes the bucket predicate to the scan when `bucket` is a
+    materialized partition column.
+    """
+    import hashlib
+
+    def plane_sign(p: int, d: int) -> float:
+        return 1.0 if hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0] in "01234567" else -1.0
+
+    q_bits = []
+    for p in range(n_planes):
+        s = sum(plane_sign(p, d) * query_vec[d] for d in range(dim))
+        q_bits.append("1" if s >= 0 else "0")
+    q_bucket = "".join(q_bits)
+    probes = {q_bucket}
+    if multiprobe:
+        for i in range(n_planes):
+            flipped = list(q_bucket)
+            flipped[i] = "0" if flipped[i] == "1" else "1"
+            probes.add("".join(flipped))
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
+    cands = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
+    scored = cands.select(
+        F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

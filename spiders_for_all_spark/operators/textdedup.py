@@ -1,0 +1,220 @@
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+First-class training-data-pipeline components (not in the reference, which
+only dedups URLs/ids — utils/helper.py:55).  Design constraints at 100 TB:
+
+* Hashes are md5-hex strings so every stage is (a) a JVM builtin and
+  (b) bit-identical in the DuckDB oracle.  Lexicographic min over md5-hex
+  is a valid MinHash family (each seed-salted md5 is an approximately
+  random permutation of shingle space).
+* No all-pairs joins: candidate pairs only ever come from equi-joins on
+  LSH band buckets / simhash keys — the O(n²) stays inside buckets.
+* Aggregations are partial-aggregatable (min/sum per group), so map-side
+  combine does most of the work before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.functions.text import fingerprint, shingles
+from spiders_for_all_spark.functions.vectors import cosine_rounded, lsh_bucket
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per identical normalized text."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """doc -> n_hashes MinHash values: min over shingles of md5(seed||shingle).
+
+    explode + groupBy(min) — fully partial-aggregatable, one shuffle on
+    id_col.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_bands(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8,
+                  band_size: int = 2) -> DataFrame:
+    """Signature -> (band_id, bucket) rows; same bucket => candidate pair."""
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (a < b) via banded MinHash LSH."""
+    sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
+    bands = minhash_bands(sig, id_col, n_hashes, band_size)
+    left = bands.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("a")
+    )
+    right = bands.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("b")
+    )
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verification of candidate pairs)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for given candidate (a,b) pairs.
+
+    |A∩B| via an equi-join on shingle, |A∪B| = |A|+|B|-|A∩B| — never an
+    all-pairs product, only the candidate set is scored.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("sh").alias("n_sh"))
+    a_sh = sh.select(F.col(id_col).alias("a"), F.col("sh"))
+    b_sh = sh.select(F.col(id_col).alias("b"), F.col("sh"))
+    inter = (
+        pairs.join(a_sh, on="a")
+        .join(b_sh, on=["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    with_sizes = (
+        pairs.join(inter, on=["a", "b"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n_sh", "n_a"), on="a")
+        .join(sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n_sh", "n_b"), on="b")
+    )
+    return with_sizes.select(
+        "a",
+        "b",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (md5-nibble variant, oracle-expressible)
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              shingle_n: int = 3) -> DataFrame:
+    """16-bit SimHash: majority vote per md5-hex nibble position over shingles.
+
+    Bit j of the fingerprint is 1 iff, over all shingles, the j-th hex char
+    of md5(shingle) falls in [8,f] more often than not (each nibble's high
+    bit is an independent unbiased hash bit).  Near-dups share most bits;
+    grouping on the full 16-bit key finds heavy duplicates with one shuffle.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).withColumn("h", F.md5(F.col("sh")))
+    votes = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = sh.groupBy(id_col).agg(*votes)
+    bits = [F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
+    return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    sh = simhash16(df, text_col, id_col)
+    return sh.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("representative")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate vectors: LSH-bucket by sign-random-projection, then
+    exact cosine within buckets, keep pairs >= threshold.
+
+    The bucket equi-join keeps the pair space ~n²/2^planes; recall is
+    tunable via n_planes (fewer planes = bigger buckets = higher recall).
+    """
+    with_b = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    a = with_b.select(
+        F.col("bucket"), F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    b = with_b.select(
+        F.col("bucket"), F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", cosine_rounded(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,69 @@
+"""Structured-Streaming expressions of the engine's streaming-shaped pieces.
+
+The crawl loop itself is deliberately round-based (closed-world rounds,
+state in snapshot tables — SURVEY §2.10 chose this over a Structured
+Streaming port because cursor chains force strict round barriers).  What
+*is* stream-shaped is telemetry: fetch-log/event monitoring with windowed
+aggregation and sessionization.  These run identically on a batch
+DataFrame or a ``readStream`` source; tests drive them through the memory
+sink with ``processAllAvailable``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding windowed counts+sums; watermark bounds late data."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return src.groupBy(win.alias("win"), F.col(key_col)).agg(
+        F.count("*").alias("n"), F.sum("value").alias("total_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: gap > threshold starts a new session.
+
+    lag + cumulative-sum-over-window — the standard Spark idiom; the
+    streaming twin is ``session_window`` (used in
+    ``streaming_sessionize``)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess_no = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn("session_no", sess_no)
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming-native session windows (state handled by Spark)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )

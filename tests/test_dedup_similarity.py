@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.operators import similarity as SIM
+from spiders_for_all_spark.operators import textdedup as TD
+
+DOCS = [
+    ("d1", "the quick brown fox jumps over the lazy dog near the river bank"),
+    ("d2", "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup
+    ("d3", "the quick brown fox jumps over the lazy dog near the green bank"),  # near dup
+    ("d4", "completely different words about spark shuffle partitions and skew"),
+    ("d5", "THE  Quick Brown fox jumps over the lazy dog near the river bank"),  # case/ws dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string").cache()
+
+
+def test_exact_dedup(docs):
+    out = TD.exact_dedup(docs).collect()
+    groups = {r["doc_id"]: r["n_copies"] for r in out}
+    assert groups["d1"] == 3  # d1, d2, d5 normalize identically
+    assert groups["d3"] == 1 and groups["d4"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in TD.minhash_candidate_pairs(docs).collect()}
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d3") in pairs or ("d2", "d3") in pairs  # near dup caught
+    assert not any("d4" in p for p in pairs)  # unrelated doc not paired
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3"), ("d1", "d4")], "a string, b string"
+    )
+    out = {(r["a"], r["b"]): r["jaccard"] for r in TD.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[("d1", "d2")] == 1.0
+    assert 0.3 < out[("d1", "d3")] < 1.0
+    assert out[("d1", "d4")] == 0.0
+
+
+def test_simhash_groups_exact_dups(docs):
+    out = TD.simhash_dup_groups(docs).collect()
+    by_rep = {r["representative"]: r["n_docs"] for r in out}
+    assert by_rep["d1"] >= 3  # d1/d2/d5 identical -> same simhash
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    rng = random.Random(1)
+    rows = []
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    for i in range(20):
+        if i < 3:  # 3 near-identical vectors
+            v = [x + rng.uniform(-0.01, 0.01) for x in base]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>").cache()
+
+
+def test_embedding_near_dups(emb):
+    pairs = TD.embedding_near_dups(emb, threshold=0.99, n_planes=4, dim=8).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert ("0", "1") in {(str(a), str(b)) for a, b in found} or (0, 1) in found
+
+
+def test_brute_force_topk(emb):
+    qv = [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]
+    top = SIM.brute_force_topk(emb, list(qv), k=4).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 0 and top[0]["cos"] == 1.0
+    assert set(ids[:3]) == {0, 1, 2}  # the near-identical cluster leads
+
+
+def test_lsh_ann_matches_brute_force_head(emb):
+    qv = [float(x) for x in [r["embedding"] for r in emb.filter("vec_id = 0").collect()][0]]
+    exact = [r["vec_id"] for r in SIM.brute_force_topk(emb, qv, k=3).collect()]
+    approx = [r["vec_id"] for r in SIM.lsh_ann_topk(emb, qv, k=3, n_planes=4, dim=8).collect()]
+    # the near-dup cluster must be recalled (same bucket as the query)
+    assert set(exact) == set(approx) == {0, 1, 2}
+
+
+def test_topk_per_query_window(spark, emb):
+    queries = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)], "q_id int, q_vec array<float>"
+    )
+    out = SIM.brute_force_topk_per_query(emb, queries, k=3)
+    counts = out.groupBy("q_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)

@@ -30,27 +30,34 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(cosine(a, b), digits)
 
 
-def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Deterministic ±1 random-hyperplane component sign via md5.
-
-    Sign-random-projection LSH (Charikar, STOC'02) with hyperplane entries
-    in {-1,+1} derived from md5("p-d") — reproducible in any engine with
-    md5, which is what makes the LSH bucketing oracle-checkable in DuckDB.
+def plane_coefficients(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane entries from md5("p-d") — reproducible in
+    any engine with md5, which is what makes LSH bucketing oracle-checkable.
     """
-    comps = [
-        F.when(
-            F.substring(F.md5(F.lit(f"{plane}-{d}")), 1, 1).isin(
-                *"01234567"
-            ),
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0))
-        * F.element_at(vec, d + 1).cast("double")
+    import hashlib
+
+    return [
+        1.0
+        if hashlib.md5(f"{plane}-{d}".encode()).hexdigest()[0] in "01234567"
+        else -1.0
         for d in range(dim)
     ]
-    total = comps[0]
-    for c in comps[1:]:
-        total = total + c
-    return F.when(total >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign-random-projection LSH bit (Charikar, STOC'02).
+
+    The coefficient vector is a literal array and the projection a single
+    zip_with+aggregate — compact codegen (an unrolled 64-term sum blows the
+    janino 64KB method limit and falls back to interpreted evaluation).
+    Summation is sequential in element order, matching both the python twin
+    and DuckDB's list_dot_product.
+    """
+    coeffs = F.array(*[F.lit(c) for c in plane_coefficients(plane, dim)])
+    total = dot(vec, coeffs)
+    # round before the sign test so bucket bits are bit-identical across
+    # engines (sum order / FMA differences live far below 1e-9)
+    return F.when(F.round(total, 9) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
 def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:

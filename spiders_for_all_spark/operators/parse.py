@@ -187,8 +187,9 @@ def parsed_schema(input_schema: T.StructType) -> T.StructType:
     return T.StructType(base + PARSE_FIELDS)
 
 
-def parse_stage(fetched: DataFrame) -> DataFrame:
-    """Vectorized parse over fetch results (mapInPandas, Arrow-batched)."""
+def parse_stage_pandas(fetched: DataFrame) -> DataFrame:
+    """Arrow-batched pandas variant of the parse stage (kept for ablation
+    benchmarks; the default parse_stage below is pure Catalyst)."""
     out_schema = parsed_schema(fetched.schema)
     out_cols = [f.name for f in out_schema.fields]
 
@@ -209,3 +210,291 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
             yield res[out_cols]
 
     return fetched.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst-native parse (the default): ZERO python in the parse path.
+#
+# from_json + regexp_extract + array transform expressions implement exactly
+# the semantics of parse_body above (which remains the executable spec the
+# golden simulator runs).  Envelope/item shapes follow the reference wire
+# formats (SURVEY §1.2); whole-stage codegen keeps this inside the JVM, so
+# the only Python in a crawl round is the fetch UDF itself.
+
+from pyspark.sql import Column, functions as F  # noqa: E402
+
+ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("desc", T.StringType()),
+        T.StructField("images", T.ArrayType(T.StringType())),
+        T.StructField("videos", T.ArrayType(T.StringType())),
+        T.StructField("audios", T.ArrayType(T.StringType())),
+    ]
+)
+
+COMMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("pictures", T.ArrayType(T.StringType())),
+    ]
+)
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("code", T.IntegerType()),
+        T.StructField("message", T.StringType()),
+        T.StructField("success", T.BooleanType()),
+        T.StructField(
+            "data",
+            T.StructType(
+                [
+                    T.StructField("list", T.ArrayType(ITEM_SCHEMA)),
+                    T.StructField("comments", T.ArrayType(COMMENT_SCHEMA)),
+                    T.StructField("cursor", T.StringType()),
+                    T.StructField("has_more", T.BooleanType()),
+                    T.StructField("out_links", T.ArrayType(T.StringType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+NOTE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "note",
+            T.StructType(
+                [
+                    T.StructField("id", T.StringType()),
+                    T.StructField("title", T.StringType()),
+                    T.StructField("desc", T.StringType()),
+                    T.StructField(
+                        "imageList",
+                        T.ArrayType(T.StructType([T.StructField("url", T.StringType())])),
+                    ),
+                    T.StructField(
+                        "video",
+                        T.StructType([T.StructField("masterUrl", T.StringType())]),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+_EMPTY_SPANS = "array()"
+
+
+def _reoffset(spans: Column) -> Column:
+    """Rewrite offsets to the span's position (0-based) after concat."""
+    return F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+def _media_spans(urls: Column, kind: str) -> Column:
+    return F.transform(
+        F.coalesce(urls, F.array().cast("array<string>")),
+        lambda u: F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            u.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        ),
+    )
+
+
+def _text_span(text: Column) -> Column:
+    return F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+    )
+
+
+def _nonempty(c: Column) -> Column:
+    return F.nullif(c, F.lit(""))
+
+
+def _item_doc(item: Column) -> Column:
+    """item_to_doc as an expression: text(desc|title|''), images, videos, audios."""
+    text = F.coalesce(_nonempty(item["desc"]), _nonempty(item["title"]), F.lit(""))
+    spans = F.concat(
+        _text_span(text),
+        _media_spans(item["images"], "image"),
+        _media_spans(item["videos"], "video"),
+        _media_spans(item["audios"], "audio"),
+    )
+    return F.struct(item["id"].alias("doc_id"), _reoffset(spans).alias("spans"))
+
+
+def _comment_doc(c: Column) -> Column:
+    spans = F.concat(
+        _text_span(F.coalesce(c["content"], F.lit(""))),
+        _media_spans(c["pictures"], "image"),
+    )
+    return F.struct(c["id"].alias("doc_id"), _reoffset(spans).alias("spans"))
+
+
+def _note_doc(note: Column) -> Column:
+    title = F.coalesce(note["title"], F.lit(""))
+    desc = F.coalesce(note["desc"], F.lit(""))
+    text = F.when((title != "") & (desc != ""), F.concat(title, F.lit("\n"), desc)).otherwise(
+        F.coalesce(_nonempty(title), desc)
+    )
+    imgs = F.filter(
+        F.transform(
+            F.coalesce(note["imageList"], F.array().cast("array<struct<url:string>>")),
+            lambda i: i.url,
+        ),
+        lambda u: u.isNotNull(),
+    )
+    video_span = F.when(
+        note["video"].isNotNull(),
+        F.array(
+            F.struct(
+                F.lit("video").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                note["video"]["masterUrl"].alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ),
+    ).otherwise(F.array().cast(T.ArrayType(S.SPAN)))
+    spans = F.concat(_text_span(text), _media_spans(imgs, "image"), video_span)
+    return F.struct(note["id"].alias("doc_id"), _reoffset(spans).alias("spans"))
+
+
+def parse_stage(fetched: DataFrame) -> DataFrame:
+    """Catalyst-native parse: body -> envelope fields + docs + out_links.
+
+    Matches parse_body row-for-row (golden-tested); runs entirely in the
+    JVM under whole-stage codegen.
+    """
+    kind = F.col("kind")
+    is_http_ok = F.col("status") == 200
+
+    # Materialize the expensive extractions ONCE in a separate projection:
+    # from_json would otherwise be re-evaluated in every downstream column
+    # (CollapseProject keeps this split because the aliases are non-cheap
+    # and multiply-referenced).
+    is_env_kind0 = kind.isin("page", "cursor")
+    env0 = F.when(
+        is_env_kind0 & is_http_ok, F.from_json(F.col("body"), ENVELOPE_SCHEMA)
+    )
+    state_raw0 = F.when(
+        (kind == "html") & is_http_ok,
+        F.regexp_extract(
+            F.col("body"),
+            r"window\.__INITIAL_STATE__\s*=\s*(\{.+?\})\s*;?\s*</script>",
+            1,
+        ),
+    ).otherwise(F.lit(""))
+    state0 = F.when(
+        (kind == "html") & is_http_ok,
+        F.from_json(
+            F.regexp_replace(state_raw0, r"\bundefined\b", "null"), NOTE_SCHEMA
+        ),
+    )
+    fetched = fetched.withColumns(
+        {"_env": env0, "_state_raw": state_raw0, "_state": state0}
+    )
+    env, state_raw, state = F.col("_env"), F.col("_state_raw"), F.col("_state")
+
+    is_env_kind = kind.isin("page", "cursor")
+    env_ok = env.isNotNull() & (
+        F.coalesce(env.getField("code"), F.lit(0)) == 0
+    ) & F.coalesce(env.getField("success"), F.lit(True))
+
+    code = F.when(~is_http_ok, F.lit(None).cast("int")).otherwise(
+        F.when(is_env_kind, F.coalesce(env.getField("code"), F.lit(0))).otherwise(F.lit(0))
+    )
+    success = F.when(~is_http_ok, F.lit(None).cast("boolean")).otherwise(
+        F.when(is_env_kind, F.coalesce(env.getField("success"), F.lit(True))).otherwise(
+            F.lit(True)
+        )
+    )
+
+    data = env.getField("data")
+    items = F.coalesce(data.getField("list"), F.array().cast(T.ArrayType(ITEM_SCHEMA)))
+    comments = F.coalesce(
+        data.getField("comments"), F.array().cast(T.ArrayType(COMMENT_SCHEMA))
+    )
+
+    note = state.getField("note")
+    parse_failed = is_http_ok & (
+        (is_env_kind & env.isNull())
+        | ((kind == "html") & ((state_raw == "") | state.isNull() | note.isNull()))
+    )
+    parse_error = F.when(parse_failed, F.lit("ParseError: malformed body")).otherwise(
+        F.lit(None).cast("string")
+    )
+
+    good = is_http_ok & ~parse_failed
+    docs = F.when(
+        good & (kind == "page") & env_ok, F.transform(items, _item_doc)
+    ).when(
+        good & (kind == "cursor") & env_ok, F.transform(comments, _comment_doc)
+    ).when(
+        good & (kind == "html"), F.array(_note_doc(note))
+    ).otherwise(F.array().cast(T.ArrayType(DOC_FIELD)))
+
+    out_links = F.when(
+        good & (kind == "page") & env_ok,
+        F.coalesce(data.getField("out_links"), F.array().cast("array<string>")),
+    ).when(
+        good & (kind == "html"),
+        F.filter(
+            F.transform(
+                F.coalesce(
+                    note.getField("imageList"),
+                    F.array().cast("array<struct<url:string>>"),
+                ),
+                lambda i: i.url,
+            ),
+            lambda u: u.isNotNull(),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    items_count = F.when(good & (kind == "page") & env_ok, F.size(items)).when(
+        good & (kind == "cursor") & env_ok, F.size(comments)
+    ).otherwise(F.lit(0))
+    has_more = F.coalesce(
+        F.when(good & (kind == "cursor") & env_ok, data.getField("has_more")),
+        F.lit(False),
+    )
+    next_cursor = F.when(
+        good & (kind == "cursor") & env_ok, data.getField("cursor")
+    ).otherwise(F.lit(None).cast("string"))
+    page_size = F.when(
+        good & (kind == "page") & env_ok,
+        F.regexp_extract(F.col("url"), r"[?&]size=(\d+)", 1).cast("int"),
+    ).otherwise(F.lit(None).cast("int"))
+
+    return fetched.select(
+        *[
+            f.name
+            for f in fetched.schema.fields
+            if f.name not in ("body", "_env", "_state_raw", "_state")
+        ],
+        code.alias("code"),
+        success.alias("success"),
+        docs.alias("docs"),
+        out_links.alias("out_links"),
+        has_more.alias("has_more"),
+        next_cursor.alias("next_cursor"),
+        items_count.alias("items_count"),
+        page_size.alias("page_size"),
+        parse_error.alias("parse_error"),
+    )

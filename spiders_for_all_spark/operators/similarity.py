@@ -76,15 +76,15 @@ def lsh_ann_topk(
     Catalyst pushes the bucket predicate to the scan when `bucket` is a
     materialized partition column.
     """
-    import hashlib
-
-    def plane_sign(p: int, d: int) -> float:
-        return 1.0 if hashlib.md5(f"{p}-{d}".encode()).hexdigest()[0] in "01234567" else -1.0
+    from spiders_for_all_spark.functions.vectors import plane_coefficients
 
     q_bits = []
     for p in range(n_planes):
-        s = sum(plane_sign(p, d) * query_vec[d] for d in range(dim))
-        q_bits.append("1" if s >= 0 else "0")
+        coeffs = plane_coefficients(p, dim)
+        s = 0.0
+        for d in range(dim):
+            s = s + query_vec[d] * coeffs[d]
+        q_bits.append("1" if round(s, 9) >= 0 else "0")
     q_bucket = "".join(q_bits)
     probes = {q_bucket}
     if multiprobe:

@@ -1,0 +1,885 @@
+"""Query catalog: (PySpark plan, ANSI-SQL oracle) pairs for every operator.
+
+Each entry maps one operator family from SURVEY §2 (or a training-data
+pipeline op) onto the driver's TPC-H-ish tables plus ``documents`` /
+``embeddings``.  The Spark side is the idiomatic Catalyst plan; the SQL
+side is the DuckDB-runnable oracle the driver compares against at sf0.01
+(row-count + schema + order-insensitive value hash — so every computed
+column is aliased identically on both sides, floats are rounded, and every
+LIMIT sits on a unique total order).
+
+Crawl-native operators are exercised over a *derived frontier*: the
+``documents`` table re-interpreted as URLs (host = source) so the oracle
+stays pure ANSI SQL on the shared parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.functions import text as TX
+from spiders_for_all_spark.functions.urls import canonicalize_url
+from spiders_for_all_spark.functions import vectors as V
+from spiders_for_all_spark.operators import similarity as SIM
+from spiders_for_all_spark.operators import textdedup as TD
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# Derived frontier (shared by crawl-operator queries).
+# host = source; priority = n_chars % 5; discovery = doc_id % 7.
+
+_FRONTIER_SQL = """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           source AS host,
+           'https://' || source || '.example.com/doc?id=' || doc_id ||
+               '&lang=' || lang AS url,
+           CAST(n_chars % 5 AS INT) AS priority,
+           CAST(doc_id % 7 AS INT) AS discovery
+    FROM documents
+"""
+
+
+def _frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc?id="),
+            F.col("doc_id"),
+            F.lit("&lang="),
+            F.col("lang"),
+        ).alias("url"),
+        (F.col("n_chars") % 5).cast("int").alias("priority"),
+        (F.col("doc_id") % 7).cast("int").alias("discovery"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — priority-queue Window rank per host
+
+
+@_register(
+    "o1_priority_queue_rank",
+    f"""
+    WITH frontier AS ({_FRONTIER_SQL})
+    SELECT host, url, priority,
+           ROW_NUMBER() OVER (PARTITION BY host
+                              ORDER BY priority, discovery, url) AS sched_rank
+    FROM frontier
+    """,
+)
+def o1_priority_queue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy("priority", "discovery", "url")
+    return fr.select(
+        "host", "url", "priority", F.row_number().over(w).alias("sched_rank")
+    )
+
+
+# O2 — per-host budget top-k (the politeness gate)
+
+
+@_register(
+    "o2_host_budget_topk",
+    f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    ranked AS (
+      SELECT host, url, priority,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY priority, discovery, url) AS sched_rank
+      FROM frontier)
+    SELECT host, url, priority, sched_rank FROM ranked WHERE sched_rank <= 3
+    """,
+)
+def o2_host_budget_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return o1_priority_queue_rank(spark, sf_dir).filter(F.col("sched_rank") <= 3)
+
+
+# J1 — frontier ⋉ seen anti-join
+
+
+@_register(
+    "j1_seen_antijoin",
+    f"""
+    WITH frontier AS ({_FRONTIER_SQL}),
+    seen AS (SELECT doc_id FROM frontier WHERE CAST(doc_id AS BIGINT) % 3 = 0)
+    SELECT f.doc_id, f.url FROM frontier f
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.doc_id = f.doc_id)
+    """,
+)
+def j1_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fr = _frontier(spark, sf_dir)
+    seen = fr.filter(F.col("doc_id").cast("bigint") % 3 == 0).select("doc_id")
+    return fr.join(seen, on="doc_id", how="left_anti").select("doc_id", "url")
+
+
+# F6/F9 — URL canonicalization
+
+
+@_register(
+    "f6_canonicalize_url",
+    """
+    WITH messy AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             'HTTPS://' || upper(source) || '.Example.COM:443/doc?lang=' ||
+                 lang || '&id=' || doc_id || '#frag' AS url
+      FROM documents)
+    SELECT doc_id,
+           lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '://' ||
+           regexp_replace(
+             lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+             ':(80|443)$', '') ||
+           regexp_extract(regexp_replace(url, '#.*$', ''),
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) ||
+           '?' || array_to_string(
+             list_sort(string_split(
+               regexp_extract(regexp_replace(url, '#.*$', ''), '\\?([^#]*)', 1),
+               '&')), '&') AS canonical_url
+    FROM messy
+    """,
+)
+def f6_canonicalize_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    messy = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.COM:443/doc?lang="),
+            F.col("lang"),
+            F.lit("&id="),
+            F.col("doc_id"),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+    return messy.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+
+
+# S8 — id-list source: split/explode/distinct/sort
+
+
+@_register(
+    "s8_idlist_words",
+    """
+    SELECT word FROM (
+      SELECT DISTINCT unnest(string_split_regex(text, '[\\s,\\t\\n]+')) AS word
+      FROM documents) t
+    WHERE word <> '' ORDER BY word
+    """,
+)
+def s8_idlist_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), r"[\s,\t\n]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .orderBy("word")
+    )
+
+
+# P1/F4 — JSON envelope filter
+
+
+@_register(
+    "p1_envelope_filter",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def p1_envelope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.get_json_object("props", "$.k").cast("bigint") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+# O4 — best-quality pick (top-1 per group)
+
+
+@_register(
+    "o4_top1_per_group",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def o4_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# A3 — top-N
+
+
+@_register(
+    "a3_topn_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def a3_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# A2 — running total with cap
+
+
+@_register(
+    "a2_running_cap",
+    """
+    SELECT o_custkey, o_orderkey, running FROM (
+      SELECT o_custkey, o_orderkey,
+             round(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+      FROM orders) t
+    WHERE running <= 300000
+    """,
+)
+def a2_running_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn("running", F.round(F.sum("o_totalprice").over(w), 4))
+        .filter(F.col("running") <= 300000)
+        .select("o_custkey", "o_orderkey", "running")
+    )
+
+
+# U3 — union + distinct
+
+
+@_register(
+    "u3_union_distinct",
+    """
+    SELECT DISTINCT n_nationkey AS nationkey FROM (
+      SELECT c_nationkey AS n_nationkey FROM customer
+      UNION ALL SELECT s_nationkey FROM supplier) t
+    """,
+)
+def u3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+# K2 — MERGE/upsert emulation
+
+
+@_register(
+    "k2_merge_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 2 = 0),
+    source AS (
+      SELECT o_orderkey, round(o_totalprice * 1.1, 4) AS price
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, price FROM target
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+    UNION ALL SELECT o_orderkey, price FROM source
+    """,
+)
+def k2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 1.1, 4).alias("price")
+    )
+    return target.join(source, on="o_orderkey", how="left_anti").unionByName(source)
+
+
+# F5 — md5 signing expression
+
+
+@_register(
+    "f5_md5_sign",
+    """
+    SELECT c_custkey, md5(concat_ws('&', c_name, c_mktsegment)) AS sig
+    FROM customer
+    """,
+)
+def f5_md5_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.md5(F.concat_ws("&", "c_name", "c_mktsegment")).alias("sig")
+    )
+
+
+# F1 — regexp extract
+
+
+@_register(
+    "f1_regexp_extract",
+    """
+    SELECT o_orderpriority,
+           regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS prio_num,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def f1_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count("*").alias("n")).select(
+        "o_orderpriority",
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1).alias("prio_num"),
+        "n",
+    )
+
+
+# TPC-H Q1 — the canonical agg
+
+
+@_register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# TPC-H Q3-ish — 3-way join + top-N revenue
+
+
+@_register(
+    "tpch_q3ish",
+    """
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def tpch_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# streaming-shaped: hourly windowed event counts
+
+
+@_register(
+    "windowed_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("win_start"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+
+
+# sessionization (gap > 30 min)
+
+
+@_register(
+    "sessionize_events",
+    """
+    SELECT user_id, count(DISTINCT session_no) AS n_sessions, count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM (
+        SELECT user_id, ts, event_id,
+               epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap
+        FROM events) g) s
+    GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (UTC session)
+    gap = epoch - F.lag(epoch).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        e.withColumn("session_no", sess)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_no").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ===========================================================================
+# Training-data pipeline queries (dedup / similarity / text / multimodal).
+# Shared SQL fragments keep the oracle byte-equivalent to the Catalyst plans.
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_DOCS_SQL = f"""
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_NORM_SQL} AS norm, text
+  FROM documents
+"""
+_SHINGLES_SQL = f"""
+  docs AS ({_DOCS_SQL}),
+  w AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
+  sh AS (SELECT doc_id,
+                unnest([array_to_string(w[i+1:i+3], ' ')
+                        for i in range(greatest(len(w)-2, 0))]) AS sh
+         FROM w)
+"""
+_MINHASH_SQL = f"""
+  WITH {_SHINGLES_SQL},
+  sig AS (SELECT doc_id,
+      {', '.join(f"min(md5('s{i}:' || sh)) AS mh{i}" for i in range(8))}
+    FROM sh GROUP BY doc_id),
+  bands AS (
+    {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM sig" for b in range(4))}
+  ),
+  pairs AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+    WHERE l.doc_id < r.doc_id)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    SELECT md5(norm) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM ({_DOCS_SQL}) GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.exact_dedup(_docs(spark, sf_dir))
+
+
+@_register("dedup_minhash_lsh", _MINHASH_SQL + "SELECT a, b FROM pairs")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    _MINHASH_SQL
+    + """,
+    shd AS (SELECT DISTINCT doc_id, sh FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shd GROUP BY doc_id),
+    inter AS (SELECT p.a, p.b, count(*) AS n_inter
+              FROM pairs p
+              JOIN shd sa ON sa.doc_id = p.a
+              JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+              GROUP BY p.a, p.b)
+    SELECT p.a, p.b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+    JOIN sizes za ON za.doc_id = p.a
+    JOIN sizes zb ON zb.doc_id = p.b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = TD.minhash_candidate_pairs(docs)
+    return TD.ngram_jaccard_pairs(docs, pairs)
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH {_SHINGLES_SQL},
+    hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
+    votes AS (SELECT doc_id,
+        {', '.join(f"sum(CASE WHEN substring(h, {j+1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
+      FROM hashed GROUP BY doc_id),
+    simhashed AS (SELECT doc_id,
+        {" || ".join(f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(16))} AS simhash
+      FROM votes)
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS representative
+    FROM simhashed GROUP BY simhash
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TD.simhash_dup_groups(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity — hyperplane coefficients are md5-derived constants,
+# generated identically here (python) and in functions/vectors.py (Catalyst)
+
+
+def _plane_coeffs(n_planes: int, dim: int) -> list[list[float]]:
+    return [V.plane_coefficients(p, dim) for p in range(n_planes)]
+
+
+def _bucket_sql(n_planes: int, dim: int, vec: str = "embedding") -> str:
+    coeffs = _plane_coeffs(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        arr = "[" + ", ".join(f"{c:.1f}" for c in coeffs[p]) + "]"
+        bits.append(
+            f"(CASE WHEN round(list_dot_product({vec}::DOUBLE[], {arr}), 9) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+_COS_SQL = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      {_bucket_sql(8, 64)} AS bucket
+               FROM embeddings)
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           {_COS_SQL.format(a='l.embedding', b='r.embedding')} AS cos
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE {_COS_SQL.format(a='l.embedding', b='r.embedding')} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return TD.embedding_near_dups(emb, threshold=0.4, n_planes=8, dim=64)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 1) -> list[float]:
+    row = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+@_register(
+    "ann_brute_force_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id, {_COS_SQL.format(a='embedding', b='qv')} AS cos
+    FROM embeddings, q
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.brute_force_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    # query bucket + 1-bit multiprobe neighborhoods computed SQL-side from
+    # the same md5 coefficient constants
+    return f"""
+    WITH q AS (SELECT embedding AS qv, {_bucket_sql(6, 64)} AS qb
+               FROM embeddings WHERE vec_id = 1),
+    b AS (SELECT vec_id, embedding, {_bucket_sql(6, 64)} AS bucket
+          FROM embeddings),
+    probes AS (
+      SELECT qb AS pb FROM q
+      UNION SELECT substring(qb, 1, i) ||
+                   (CASE WHEN substring(qb, i+1, 1) = '1' THEN '0' ELSE '1' END) ||
+                   substring(qb, i+2) AS pb
+            FROM q, range(6) t(i))
+    SELECT b.vec_id, {_COS_SQL.format(a='b.embedding', b='q.qv')} AS cos
+    FROM b JOIN probes ON b.bucket = probes.pb, q
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """
+
+
+@_register("ann_lsh_topk", _ann_lsh_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        k=10,
+        n_planes=6,
+        dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+_WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+             len({_WORDS_SQL}) AS n_tok,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS punct,
+             round(len(list_filter({_WORDS_SQL},
+                       x -> x IN ('the','and','of','to','a')))
+                   / greatest(len({_WORDS_SQL}), 1), 6) AS stopword,
+             len(list_distinct({_WORDS_SQL})) AS n_distinct
+      FROM documents)
+    SELECT doc_id, n_tok, n_bpe, punct, stopword,
+           round((least(n_tok / 50.0, 1.0) + (1 - punct)
+                  + n_distinct / greatest(n_tok, 1)) / 3.0, 6) AS quality
+    FROM base
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tok"),
+        TX.bpe_token_count(t).alias("n_bpe"),
+        TX.punct_ratio(t).alias("punct"),
+        TX.stopword_ratio(t).alias("stopword"),
+        TX.quality_score(t).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    from spiders_for_all_spark.functions.text import LANG_PROFILES
+
+    score = {
+        lang: f"len(list_filter({_WORDS_SQL}, x -> x IN "
+        f"({', '.join(repr(w) for w in prof)})))"
+        for lang, prof in LANG_PROFILES.items()
+    }
+    langs_desc = sorted(LANG_PROFILES, reverse=True)
+    ladder = " ".join(
+        f"WHEN s_{lang} >= {' AND s_' + lang + ' >= '.join(f's_{o}' for o in langs_desc if o != lang)} THEN '{lang}'"
+        if len(langs_desc) > 1
+        else f"WHEN TRUE THEN '{lang}'"
+        for lang in langs_desc
+    )
+    # fix the generated WHEN clause syntax: s_x >= s_y AND s_x >= s_z ...
+    ladder = " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lang} >= s_{o}" for o in langs_desc if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs_desc
+    )
+    scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+    WITH scored AS (SELECT lang, {scores_sql} FROM documents)
+    SELECT lang, (CASE {ladder} END) AS lang_guess, count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@_register("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "lang", TX.lang_id(F.col("text")).alias("lang_guess")
+    ).groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5({_NORM_SQL}) AS fp, n_chars
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal metadata plumbing (binary payload -> typed metadata), checked
+# against a relational oracle
+
+
+@_register(
+    "multimodal_meta",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'bin' AS format, 'unknown' AS kind
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spiders_for_all_spark.operators.multimodal import extract_media_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_media_meta(d)
+
+
+# ---------------------------------------------------------------------------
+# crawl end-to-end (non-SQL-expressible: iterative engine; rows-only check)
+
+
+def crawl_e2e_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl over a deterministic synthetic site; spans exploded to rows.
+
+    Registered WITHOUT an oracle (iterative multi-round engine); the golden
+    equality vs the reference-semantics simulator lives in
+    tests/test_crawl_golden.py.
+    """
+    import tempfile
+
+    from spiders_for_all_spark import fixtures as FX
+    from spiders_for_all_spark.engine import Crawler, CrawlConfig
+    from spiders_for_all_spark.sources.fetcher import SyntheticFetcher
+    from spiders_for_all_spark.storage import SnapshotStorage
+
+    rows, seeds = FX.build_site(
+        n_hosts=3, pages_per_chain=3, page_size=2, cursor_pages=3, notes_per_host=2, seed=11
+    )
+    site = tempfile.mkdtemp(prefix="sfas_site_") + "/pages.parquet"
+    FX.write_site(rows, site)
+    storage = SnapshotStorage(spark, tempfile.mkdtemp(prefix="sfas_wh_"))
+    Crawler(
+        spark, storage, SyntheticFetcher(site), CrawlConfig(default_budget=3, max_rounds=30)
+    ).run(seeds=seeds)
+    docs = storage.read("documents")
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+
+
+QUERIES["crawl_e2e_spans"] = crawl_e2e_spans
+
+
+# ---------------------------------------------------------------------------
+# flagship: enriched + dedup-annotated corpus (entry(); rows-only)
+
+
+def flagship_enriched_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    enriched = docs.select(
+        "doc_id",
+        TX.fingerprint(t).alias("fp"),
+        TX.lang_id(t).alias("lang_guess"),
+        TX.quality_score(t).alias("quality"),
+        TX.token_count(t).alias("n_tok"),
+    )
+    dup_groups = TD.exact_dedup(docs).select(
+        F.col("fp"), F.col("n_copies"), F.col("doc_id").alias("rep_doc_id")
+    )
+    pairs = TD.minhash_candidate_pairs(docs)
+    near_dup_counts = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_near_dup_cands"))
+    )
+    return (
+        enriched.join(F.broadcast(dup_groups), on="fp", how="left")
+        .join(near_dup_counts, on="doc_id", how="left")
+        .na.fill({"n_near_dup_cands": 0})
+        .withColumn("is_exact_dup", F.col("doc_id") != F.col("rep_doc_id"))
+    )
+
+
+QUERIES["flagship_enriched_corpus"] = flagship_enriched_corpus

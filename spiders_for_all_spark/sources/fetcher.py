@@ -94,10 +94,14 @@ class SyntheticFetcher:
                     partition_id=pid,
                 )[out_cols]
 
-        # co-locate a host's URLs in one task: politeness accounting stays
-        # local and the (pooled) per-host connection is reused
-        n = self.partitions or scheduled.sparkSession.sparkContext.defaultParallelism
-        return scheduled.repartition(n, "host").mapInPandas(run, schema=out_schema)
+        # co-locate a host's URLs in one task (politeness accounting stays
+        # local, per-host connections are reused).  partitions=None trusts
+        # the upstream partitioning — the politeness window already
+        # hash-partitioned by host, so adding a repartition here would be a
+        # pure extra shuffle.
+        if self.partitions:
+            scheduled = scheduled.repartition(self.partitions, "host")
+        return scheduled.mapInPandas(run, schema=out_schema)
 
 
 class HttpFetcher:
@@ -161,5 +165,54 @@ class HttpFetcher:
                     partition_id=pid,
                 )[out_cols]
 
-        n = self.partitions or scheduled.sparkSession.sparkContext.defaultParallelism
-        return scheduled.repartition(n, "host").mapInPandas(run, schema=out_schema)
+        if self.partitions:
+            scheduled = scheduled.repartition(self.partitions, "host")
+        return scheduled.mapInPandas(run, schema=out_schema)
+
+
+class ProceduralFetcher:
+    """Deterministic fetcher that synthesizes the response from the URL
+    itself inside the Arrow worker — no site table, no I/O.
+
+    The bench stand-in for network fetch at 10^6..10^10 frontier scale:
+    every URL yields a valid two-item JSON envelope (parse does real work),
+    cost is pure CPU, and results are reproducible at any N.
+    """
+
+    def __init__(self, items_per_page: int = 2, partitions: int | None = None):
+        self.items_per_page = items_per_page
+        self.partitions = partitions
+
+    def fetch(self, scheduled: DataFrame) -> DataFrame:
+        out_schema = fetched_schema(scheduled.schema)
+        out_cols = [f.name for f in out_schema.fields]
+        k = self.items_per_page
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx else -1
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                bodies = [
+                    '{"code": 0, "message": "ok", "data": {"list": ['
+                    + ", ".join(
+                        f'{{"id": "{u}#item{i}", "title": "t{i}", '
+                        f'"desc": "desc of {u} item {i}", '
+                        f'"images": ["{u}/img{i}.jpg"], "videos": []}}'
+                        for i in range(k)
+                    )
+                    + '], "out_links": []}}'
+                    for u in pdf["url"]
+                ]
+                yield pdf.assign(
+                    status=pd.array([200] * len(pdf), dtype="int32"),
+                    body=bodies,
+                    latency_ms=pd.array([1] * len(pdf), dtype="int32"),
+                    error=pd.array([None] * len(pdf), dtype="object"),
+                    partition_id=pid,
+                )[out_cols]
+
+        if self.partitions:
+            scheduled = scheduled.repartition(self.partitions, "host")
+        return scheduled.mapInPandas(run, schema=out_schema)

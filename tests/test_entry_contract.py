@@ -1,0 +1,89 @@
+"""Driver-contract tests: __spark_entry__ queries vs DuckDB oracles.
+
+A compact in-CI replica of the driver's correctness gate (full sweep:
+``python tools/oracle_check.py``).  Runs a representative subset at
+sf0.001 to keep the suite fast.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+SUBSET = [
+    "o1_priority_queue_rank",
+    "j1_seen_antijoin",
+    "f6_canonicalize_url",
+    "k2_merge_upsert",
+    "tpch_q1",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_brute_force_topk",
+    "text_quality",
+    "sessionize_events",
+]
+
+
+def canon_val(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon_val(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __spark_entry__ as mod
+
+    return mod
+
+
+def test_every_oracle_key_has_a_query(contract):
+    q, o = contract.queries(), contract.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 20
+
+
+def test_entry_returns_rows(spark, contract):
+    df = contract.entry(spark)
+    assert df.count() > 0
+    assert "doc_id" in df.columns
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, ddb, contract, name):
+    q, o = contract.queries(), contract.oracle_sql()
+    sdf = q[name](spark, SF)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = ddb.execute(o[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert canon_rows(sdf.columns, s_rows) == canon_rows(d_cols, d_rows)

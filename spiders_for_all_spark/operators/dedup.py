@@ -146,3 +146,242 @@ def seen_anti_join_bloom(
         seen.select("url_hash"), on="url_hash", how="left_anti"
     )
     return definitely_new.unionByName(confirmed_new)
+
+
+# ---------------------------------------------------------------------------
+# Partition-wise bloom probe (no driver collect): at 10^10 keys the bitmap
+# table is GBs — too big to broadcast.  Instead the frontier is shuffled by
+# bucket once and probed against its bucket's bitmap via a cogrouped
+# applyInPandas; the bloom table rows stay distributed.
+
+
+def bloom_prefilter_partitioned(
+    frontier: DataFrame, bloom: DataFrame, n_buckets: int = DEFAULT_BUCKETS
+) -> tuple[DataFrame, DataFrame]:
+    """Partition-wise twin of :func:`bloom_prefilter` — one shuffle of the
+    frontier by bucket, zero driver-side state."""
+    fb = with_bucket(frontier, n_buckets)
+    out_schema = fb.withColumn("_maybe", F.lit(True)).schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=out_cols)
+        if len(right) == 0:
+            return left.assign(_maybe=False)[out_cols]
+        n_bits = int(right["n_bits"].iloc[0])
+        n_hashes = int(right["n_hashes"].iloc[0])
+        bits = np.frombuffer(right["bits"].iloc[0], np.uint8)
+        pos = _positions(left["url_hash"].to_numpy(np.int64), n_bits, n_hashes)
+        hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        return left.assign(_maybe=hit.all(axis=0))[out_cols]
+
+    probed = (
+        fb.groupby("bucket")
+        .cogroup(bloom.groupby("bucket"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+    definitely_new = probed.filter(~F.col("_maybe")).drop("_maybe", "bucket")
+    maybe_seen = probed.filter(F.col("_maybe")).drop("_maybe", "bucket")
+    return definitely_new, maybe_seen
+
+
+def seen_anti_join_bloom_partitioned(
+    frontier: DataFrame,
+    seen: DataFrame,
+    bloom: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    definitely_new, maybe_seen = bloom_prefilter_partitioned(frontier, bloom, n_buckets)
+    confirmed_new = maybe_seen.join(
+        seen.select("url_hash"), on="url_hash", how="left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new)
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter: the deletable seen-set fallback (north_star — re-crawl
+# eviction).  Standard 2-choice, 4-slot-bucket, 16-bit-fingerprint cuckoo
+# filter (Fan et al., CoNEXT'14 construction, public domain idea), stored
+# one filter per seen-bucket as a uint16 table blob.
+
+
+class CuckooFilter:
+    SLOTS = 4
+    MAX_KICKS = 250
+
+    def __init__(self, capacity: int, table: np.ndarray | None = None):
+        n = max(int(capacity / 0.85 / self.SLOTS), 4)
+        self.m = 1 << (n - 1).bit_length()  # power-of-two bucket count
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((self.m, self.SLOTS), dtype=np.uint16)
+        )
+
+    # -- key mapping ------------------------------------------------------
+    def _fp(self, h: np.ndarray) -> np.ndarray:
+        fp = ((h.astype(np.uint64) >> np.uint64(48)) & np.uint64(0xFFFF)).astype(
+            np.uint16
+        )
+        return np.where(fp == 0, np.uint16(1), fp)  # 0 marks an empty slot
+
+    def _i1(self, h: np.ndarray) -> np.ndarray:
+        return (h.astype(np.uint64) % np.uint64(self.m)).astype(np.int64)
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        return (
+            (i1.astype(np.uint64) ^ (fp.astype(np.uint64) * np.uint64(0x5BD1E995)))
+            % np.uint64(self.m)
+        ).astype(np.int64)
+
+    # -- single-key ops (used at build/delete time) -------------------------
+    def insert(self, h: int) -> bool:
+        arr = np.array([h], dtype=np.int64)
+        fp = int(self._fp(arr)[0])
+        i1 = int(self._i1(arr)[0])
+        i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            empty = np.nonzero(self.table[i] == 0)[0]
+            if len(empty):
+                self.table[i, empty[0]] = fp
+                return True
+        import random
+
+        rng = random.Random(h & 0xFFFFFFFF)  # deterministic kick path
+        i = rng.choice((i1, i2))
+        for _ in range(self.MAX_KICKS):
+            slot = rng.randrange(self.SLOTS)
+            fp, self.table[i, slot] = int(self.table[i, slot]), fp
+            i = int(
+                self._i2(np.array([i]), np.array([fp], dtype=np.uint16))[0]
+            )
+            empty = np.nonzero(self.table[i] == 0)[0]
+            if len(empty):
+                self.table[i, empty[0]] = fp
+                return True
+        return False  # table over-full
+
+    def delete(self, h: int) -> bool:
+        arr = np.array([h], dtype=np.int64)
+        fp = int(self._fp(arr)[0])
+        i1 = int(self._i1(arr)[0])
+        i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            slots = np.nonzero(self.table[i] == fp)[0]
+            if len(slots):
+                self.table[i, slots[0]] = 0
+                return True
+        return False
+
+    # -- vectorized membership ---------------------------------------------
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.int64)
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._i2(i1, fp)
+        in1 = (self.table[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.table[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        table = np.frombuffer(data, dtype=np.uint16).copy()
+        m = len(table) // cls.SLOTS
+        f = cls.__new__(cls)
+        f.m = m
+        f.table = table.reshape(m, cls.SLOTS)
+        return f
+
+
+CUCKOO_SCHEMA = "bucket int, capacity int, table binary"
+
+
+def build_cuckoo(
+    seen: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    capacity_per_bucket: int = 10_000,
+) -> DataFrame:
+    """Per-bucket cuckoo filters over seen.url_hash (applyInPandas UDAF)."""
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        f = CuckooFilter(capacity_per_bucket)
+        for h in pdf["url_hash"]:
+            f.insert(int(h))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "capacity": [capacity_per_bucket],
+                "table": [f.to_bytes()],
+            }
+        )
+
+    bucketed = with_bucket(seen.select("url_hash"), n_buckets)
+    return bucketed.groupBy("bucket").applyInPandas(agg, schema=CUCKOO_SCHEMA)
+
+
+def cuckoo_delete(cuckoo: DataFrame, deletions: DataFrame,
+                  n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Remove url_hashes from the per-bucket filters (re-crawl eviction).
+
+    Cogrouped applyInPandas: each bucket's filter meets its deletions once;
+    untouched buckets pass through.
+    """
+    dels = with_bucket(deletions.select("url_hash"), n_buckets)
+
+    def apply_del(filters: pd.DataFrame, todel: pd.DataFrame) -> pd.DataFrame:
+        if len(filters) == 0:
+            return pd.DataFrame(columns=["bucket", "capacity", "table"])
+        if len(todel):
+            f = CuckooFilter.from_bytes(bytes(filters["table"].iloc[0]))
+            for h in todel["url_hash"]:
+                f.delete(int(h))
+            filters = filters.assign(table=[f.to_bytes()])
+        return filters
+
+    return (
+        cuckoo.groupby("bucket")
+        .cogroup(dels.groupby("bucket"))
+        .applyInPandas(apply_del, schema=CUCKOO_SCHEMA)
+    )
+
+
+def seen_anti_join_cuckoo(
+    frontier: DataFrame,
+    seen: DataFrame,
+    cuckoo: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Cuckoo-prefiltered anti-join (cogrouped probe + exact confirm).
+
+    Like the bloom path, the filter only shrinks the exact join's probe
+    side; false positives are exact-confirmed, so output is row-identical
+    to :func:`seen_anti_join` over the same live (non-deleted) seen set.
+    """
+    fb = with_bucket(frontier, n_buckets)
+    out_schema = fb.withColumn("_maybe", F.lit(True)).schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(columns=out_cols)
+        if len(right) == 0:
+            return left.assign(_maybe=False)[out_cols]
+        f = CuckooFilter.from_bytes(bytes(right["table"].iloc[0]))
+        hit = f.contains(left["url_hash"].to_numpy(np.int64))
+        return left.assign(_maybe=hit)[out_cols]
+
+    probed = (
+        fb.groupby("bucket")
+        .cogroup(cuckoo.groupby("bucket"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+    definitely_new = probed.filter(~F.col("_maybe")).drop("_maybe", "bucket")
+    maybe_seen = probed.filter(F.col("_maybe")).drop("_maybe", "bucket")
+    confirmed_new = maybe_seen.join(
+        seen.select("url_hash"), on="url_hash", how="left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new)

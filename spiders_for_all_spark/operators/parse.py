@@ -115,9 +115,13 @@ def parse_body(kind: str, url: str, status: int | None, body: str | None) -> dic
         "items_count": 0,
         "page_size": None,
         "parse_error": None,
+        "page_title": None,
     }
     if status != 200:
         return out
+    if kind == "html" and body:
+        m = TITLE_RE.search(body)
+        out["page_title"] = (m.group(1) or None) if m else None
     out["code"], out["success"] = 0, True
     if kind == "media":
         return out
@@ -170,6 +174,7 @@ DOC_FIELD = T.StructType(
 
 PARSE_FIELDS = [
     T.StructField("code", T.IntegerType(), True),
+    T.StructField("page_title", T.StringType(), True),
     T.StructField("success", T.BooleanType(), True),
     T.StructField("docs", T.ArrayType(DOC_FIELD), True),
     T.StructField("out_links", T.ArrayType(T.StringType()), True),
@@ -482,6 +487,11 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
         F.regexp_extract(F.col("url"), r"[?&]size=(\d+)", 1).cast("int"),
     ).otherwise(F.lit(None).cast("int"))
 
+    page_title = F.when(
+        (kind == "html") & is_http_ok,
+        F.nullif(F.regexp_extract(F.col("body"), "<title>(.*?)</title>", 1), F.lit("")),
+    )
+
     return fetched.select(
         *[
             f.name
@@ -489,6 +499,7 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
             if f.name not in ("body", "_env", "_state_raw", "_state")
         ],
         code.alias("code"),
+        page_title.alias("page_title"),
         success.alias("success"),
         docs.alias("docs"),
         out_links.alias("out_links"),

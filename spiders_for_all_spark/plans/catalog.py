@@ -883,3 +883,114 @@ def flagship_enriched_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["flagship_enriched_corpus"] = flagship_enriched_corpus
+
+
+# ===========================================================================
+# Remaining SURVEY §2 rows as oracle pairs
+
+
+@_register(
+    "s7_sql_passthrough",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus
+    """,
+)
+def s7_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — arbitrary user SQL over the tables, verbatim through spark.sql
+    (reference: database/cli.py:90-150, bilibili/cli.py:301-326)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+        FROM orders WHERE o_totalprice > 1000 GROUP BY o_orderstatus
+        """
+    )
+
+
+@_register(
+    "p5_quality_codec_filter",
+    """
+    SELECT p_partkey, p_type, p_size FROM (
+      SELECT p_partkey, p_type, p_size,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_size DESC, p_partkey) AS rn
+      FROM part WHERE regexp_matches(p_type, 'ECONOMY|PROMO')) t
+    WHERE rn = 1
+    """,
+)
+def p5_quality_codec_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — regex codec filter + best-quality top-1 per group (reference:
+    spiders/bilibili/downloader.py:116-137,92-101)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type").rlike("ECONOMY|PROMO"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"), "p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_type", "p_size")
+    )
+
+
+@_register(
+    "p6_where_passthrough",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
+    """,
+)
+def p6_where_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — user WHERE clause appended verbatim (reference:
+    spiders/bilibili/cli.py:71-75) -> F.expr passthrough."""
+    user_where = "c_acctbal > 0 AND c_mktsegment = 'BUILDING'"
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.expr(user_where))
+        .select("c_custkey", "c_name")
+    )
+
+
+@_register(
+    "f2_sanitize_filename",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(c_name || '/x:*?"<>|', '[\\\/:*?"<>|]', '_', 'g') AS fname
+    FROM customer
+    """,
+)
+def f2_sanitize_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — filename sanitize regex (reference: utils/helper.py:15,26-27)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.concat(F.col("c_name"), F.lit('/x:*?"<>|')), r'[\\\/:*?"<>|]', "_"
+        ).alias("fname"),
+    )
+
+
+@_register(
+    "u2_backup_url_failover",
+    """
+    SELECT doc_id, urls[1 + (CAST(doc_id AS BIGINT) % 3)] AS chosen FROM (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             ['https://' || source || '/primary/' || doc_id,
+              'https://backup1.example.com/' || doc_id,
+              'https://backup2.example.com/' || doc_id] AS urls
+      FROM documents) t
+    """,
+)
+def u2_backup_url_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — primary ∪ backup URLs as an ordered array; failover = index by
+    attempt number (reference: core/media.py:36-42, core/downloader.py:186-218).
+    attempt is emulated as doc_id % 3."""
+    d = _t(spark, sf_dir, "documents")
+    urls = F.array(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/primary/"), F.col("doc_id")),
+        F.concat(F.lit("https://backup1.example.com/"), F.col("doc_id")),
+        F.concat(F.lit("https://backup2.example.com/"), F.col("doc_id")),
+    )
+    attempt = (F.col("doc_id").cast("bigint") % 3).cast("int")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.element_at(urls, attempt + 1).alias("chosen"),
+    )

@@ -1,0 +1,265 @@
+"""Scale-machinery tests: cuckoo/partitioned-bloom seen set, robots gate,
+host budgets, caps, storage snapshots, metrics, streaming."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark import fixtures as FX
+from spiders_for_all_spark.engine import Crawler, CrawlConfig
+from spiders_for_all_spark.operators import dedup as D
+from spiders_for_all_spark.operators.metrics import (
+    error_breakdown,
+    partition_metrics,
+    round_metrics,
+)
+from spiders_for_all_spark.sources.fetcher import SyntheticFetcher
+from spiders_for_all_spark.storage import SnapshotStorage
+
+
+@pytest.fixture(scope="module")
+def hashes(spark):
+    return spark.range(0, 500).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def frontier_like(spark):
+    return spark.range(0, 1000).select(
+        (F.xxhash64(F.col("id").cast("string"))).alias("url_hash"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    ).cache()
+
+
+def test_bloom_partitioned_equals_exact(spark, hashes, frontier_like):
+    bloom = D.build_bloom(hashes, n_buckets=8, expected_per_bucket=128)
+    got = sorted(
+        r["url"]
+        for r in D.seen_anti_join_bloom_partitioned(
+            frontier_like, hashes, bloom, n_buckets=8
+        ).collect()
+    )
+    want = sorted(
+        r["url"] for r in D.seen_anti_join(frontier_like, hashes).collect()
+    )
+    assert got == want
+    assert len(want) == 500
+
+
+def test_cuckoo_filter_unit():
+    f = D.CuckooFilter(capacity=1000)
+    keys = np.array([hash(f"k{i}") for i in range(800)], dtype=np.int64)
+    for k in keys:
+        assert f.insert(int(k))
+    assert f.contains(keys).all()
+    # delete half, re-check
+    for k in keys[:400]:
+        assert f.delete(int(k))
+    assert not f.contains(keys[:400]).any() or f.contains(keys[:400]).mean() < 0.05
+    assert f.contains(keys[400:]).all()
+    # roundtrip
+    f2 = D.CuckooFilter.from_bytes(f.to_bytes())
+    assert f2.contains(keys[400:]).all()
+
+
+def test_cuckoo_anti_join_and_delete(spark, hashes, frontier_like):
+    cuckoo = D.build_cuckoo(hashes, n_buckets=8, capacity_per_bucket=256)
+    got = sorted(
+        r["url"]
+        for r in D.seen_anti_join_cuckoo(
+            frontier_like, hashes, cuckoo, n_buckets=8
+        ).collect()
+    )
+    want = sorted(r["url"] for r in D.seen_anti_join(frontier_like, hashes).collect())
+    assert got == want
+
+    # re-crawl eviction: delete 100 seen hashes -> they pass the filter again
+    evict = hashes.limit(100)
+    pruned = D.cuckoo_delete(cuckoo, evict, n_buckets=8)
+    live_seen = hashes.join(evict, on="url_hash", how="left_anti")
+    got2 = sorted(
+        r["url"]
+        for r in D.seen_anti_join_cuckoo(
+            frontier_like, live_seen, pruned, n_buckets=8
+        ).collect()
+    )
+    want2 = sorted(
+        r["url"] for r in D.seen_anti_join(frontier_like, live_seen).collect()
+    )
+    assert got2 == want2
+    assert len(want2) == 600
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    rows, seeds = FX.build_site(n_hosts=3, pages_per_chain=3, page_size=2,
+                                cursor_pages=2, notes_per_host=2, seed=5)
+    path = str(tmp_path_factory.mktemp("site") / "pages.parquet")
+    FX.write_site(rows, path)
+    return {"rows": rows, "seeds": seeds, "site_path": path}
+
+
+def _crawl(spark, world, tmp, cfg, robots=None, host_budget=None):
+    storage = SnapshotStorage(spark, str(tmp))
+    c = Crawler(spark, storage, SyntheticFetcher(world["site_path"], partitions=4),
+                cfg, robots=robots, host_budget=host_budget)
+    stats = c.run(seeds=world["seeds"])
+    return storage, stats
+
+
+def test_robots_gate_blocks_paths(spark, world, tmp_path):
+    robots = spark.createDataFrame(
+        [("h0.example.com", ["/api/comments"], 1.0)],
+        "host string, disallow array<string>, crawl_delay double",
+    )
+    storage, _ = _crawl(spark, world, tmp_path / "rob",
+                        CrawlConfig(default_budget=3), robots=robots)
+    urls = [r["url"] for r in storage.read("fetch_log").collect()]
+    assert not any("h0.example.com/api/comments" in u for u in urls)
+    assert any("h1.example.com/api/comments" in u for u in urls)
+    assert any("h0.example.com/api/list" in u for u in urls)
+
+
+def test_host_budget_table_caps_per_round(spark, world, tmp_path):
+    hb = spark.createDataFrame(
+        [("h0.example.com", 1, 1)], "host string, budget_per_round int, salt_n int"
+    )
+    storage, _ = _crawl(spark, world, tmp_path / "hb",
+                        CrawlConfig(default_budget=4), host_budget=hb)
+    log = storage.read("fetch_log")
+    from spiders_for_all_spark.functions.urls import url_host
+
+    per_round = (
+        log.withColumn("host", url_host(F.col("url")))
+        .groupBy("round", "host")
+        .count()
+        .collect()
+    )
+    for r in per_round:
+        cap = 1 if r["host"] == "h0.example.com" else 4
+        assert r["count"] <= cap, r
+
+
+def test_total_doc_cap_stops_crawl(spark, world, tmp_path):
+    storage, stats = _crawl(
+        spark, world, tmp_path / "cap",
+        CrawlConfig(default_budget=3, total_doc_cap=5),
+    )
+    # stops at the first round whose cumulative docs >= 5 (round granularity,
+    # mirroring the reference's count>=total stop at core/spider.py:299-311)
+    assert storage.read("documents").count() >= 5
+    assert len(stats.rounds) < 10
+
+
+def test_max_depth_limits_out_links(spark, world, tmp_path):
+    storage, _ = _crawl(
+        spark, world, tmp_path / "depth",
+        CrawlConfig(default_budget=5, max_depth=0),
+    )
+    urls = [r["url"] for r in storage.read("fetch_log").collect()]
+    # media links live at depth 2 (page -> note -> media); depth 0 forbids
+    # following any out_link, so only seed chains are fetched
+    assert not any("/media/" in u for u in urls)
+    assert not any("/note/" in u for u in urls)
+
+
+def test_metrics_over_fetch_log(spark, world, tmp_path):
+    rows = world["rows"]
+    fail_url = sorted(r["url"] for r in rows if r["kind"] == "page")[0]
+    rows2, seeds = FX.build_site(n_hosts=3, pages_per_chain=3, page_size=2,
+                                 cursor_pages=2, notes_per_host=2, seed=5,
+                                 fail_specs={fail_url: (99, "http")})
+    path = str(tmp_path / "site.parquet")
+    FX.write_site(rows2, path)
+    storage = SnapshotStorage(spark, str(tmp_path / "wh"))
+    Crawler(spark, storage, SyntheticFetcher(path, partitions=4),
+            CrawlConfig(default_budget=3, max_attempts=2)).run(seeds=seeds)
+    log = storage.read("fetch_log")
+    rm = {r["round"]: r for r in round_metrics(log).collect()}
+    assert rm[0]["fetched"] > 0 and rm[0]["n_partitions"] >= 1
+    assert sum(r["dead_lettered"] for r in rm.values()) == 1
+    eb = {r["error"]: r["n"] for r in error_breakdown(log).collect()}
+    assert eb.get("http_503") == 2  # two failed attempts before dead-letter
+    pm = partition_metrics(log)
+    assert pm.filter(F.col("partition_id").isNull()).count() == 0
+
+
+def test_storage_snapshots_and_time_travel(spark, tmp_path):
+    st = SnapshotStorage(spark, str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([("a", [])], "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    s0 = st.commit("documents", df1)
+    df2 = spark.createDataFrame([("b", [])], df1.schema)
+    s1 = st.merge_upsert("documents", df2, key="doc_id")
+    assert (s0, s1) == (0, 1)
+    assert {r["doc_id"] for r in st.read("documents").collect()} == {"a", "b"}
+    assert {r["doc_id"] for r in st.read("documents", snapshot=0).collect()} == {"a"}
+    # merge updates matched keys
+    df3 = spark.createDataFrame(
+        [("a", [{"kind": "text", "text": "new", "media_ref": None, "offset": 0}])],
+        df1.schema,
+    )
+    st.merge_upsert("documents", df3, key="doc_id")
+    rows = {r["doc_id"]: r["spans"] for r in st.read("documents").collect()}
+    assert len(rows["a"]) == 1 and rows["a"][0]["text"] == "new"
+    assert rows["b"] == []
+    # truncate-insert (K1)
+    st.truncate_insert("documents", df2)
+    assert {r["doc_id"] for r in st.read("documents").collect()} == {"b"}
+    assert st.snapshots("documents") == [0, 1, 2, 3]
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    # drive the same windowed agg through an actual readStream (memory sink)
+    from spiders_for_all_spark.streaming.rounds import windowed_event_counts
+
+    src = spark.range(0, 100).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=(F.col("id") % 30).cast("int"))).alias("ts"),
+        F.when(F.col("id") % 2 == 0, "click").otherwise("view").alias("event_type"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    path = str(tmp_path / "events_parquet")
+    src.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    agg = windowed_event_counts(stream, window="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["win"]["start"].minute, r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r["win"]["start"].minute, r["event_type"]): r["n"]
+        for r in windowed_event_counts(src, window="10 minutes").collect()
+    }
+    assert got == batch and len(got) == 6
+
+
+def test_parse_title_extraction(spark):
+    from spiders_for_all_spark.operators.parse import parse_stage
+
+    df = spark.createDataFrame(
+        [
+            ("https://h/note/n1", "html", 200,
+             '<html><head><title>T1 | h</title></head><body><script>'
+             'window.__INITIAL_STATE__={"note":{"id":"n1","title":"t","desc":"d",'
+             '"imageList":[],"video":undefined}};</script></body></html>'),
+            ("https://h/api/list?page=1&size=2", "page", 200, '{"code":0,"data":{"list":[]}}'),
+        ],
+        "url string, kind string, status int, body string",
+    )
+    out = {r["kind"]: r["page_title"] for r in parse_stage(df).collect()}
+    assert out["html"] == "T1 | h"
+    assert out["page"] is None

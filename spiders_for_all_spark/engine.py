@@ -43,6 +43,7 @@ class CrawlConfig:
     total_doc_cap: int | None = None  # A2: global stop condition
     salt_n: int = 1  # >1 enables two-phase salted scheduling
     use_bloom: bool = False
+    partition_seen_by_bucket: bool = False  # bucket-partitioned snapshots (PLANS.md)
     n_buckets: int = D.DEFAULT_BUCKETS
     bloom_expected_per_bucket: int = 10_000
 
@@ -209,7 +210,11 @@ class Crawler:
         n_ok = ok.count()
         n_failed = failed.count()
         n_dead = dead.count()
-        storage.commit("seen", new_seen)
+        storage.commit(
+            "seen",
+            new_seen,
+            partition_by=["bucket"] if cfg.partition_seen_by_bucket else None,
+        )
         storage.commit("fetch_log", full_log)
         storage.commit("frontier", next_frontier)
         return RoundStats(

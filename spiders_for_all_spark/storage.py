@@ -81,11 +81,22 @@ class SnapshotStorage:
     def empty(self, table: str) -> DataFrame:
         return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
 
-    def commit(self, table: str, df: DataFrame) -> int:
-        """Write df as the next immutable snapshot and flip _LATEST atomically."""
+    def commit(
+        self, table: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Write df as the next immutable snapshot and flip _LATEST atomically.
+
+        ``partition_by`` physically partitions the snapshot (e.g. ``seen`` by
+        ``bucket`` so the anti-join / bloom probe reads co-partitioned data —
+        the storage-partitioned-join layout of PLANS.md; with an Iceberg
+        catalog this is the table's bucket partition spec instead).
+        """
         prev = self.latest_snapshot(table)
         snap = 0 if prev is None else prev + 1
-        df.write.mode("overwrite").parquet(self._snap_dir(table, snap))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._snap_dir(table, snap))
         os.makedirs(self._table_dir(table), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self._table_dir(table))
         with os.fdopen(fd, "w") as fh:

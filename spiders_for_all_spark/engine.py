@@ -206,10 +206,14 @@ class Crawler:
         ).join(new_seen.select("url_hash"), on="url_hash", how="left_anti")
 
         # 11. snapshot commits = the resumable checkpoint for this round
-        n_sched = scheduled.count()
-        n_ok = ok.count()
-        n_failed = failed.count()
-        n_dead = dead.count()
+        counts = parsed.agg(
+            F.count("*").alias("sched"),
+            F.sum(ok_cond().cast("int")).alias("ok"),
+            F.sum((~ok_cond()).cast("int")).alias("failed"),
+            F.sum(
+                (~ok_cond() & (F.col("attempt") + 1 >= cfg.max_attempts)).cast("int")
+            ).alias("dead"),
+        ).collect()[0]
         storage.commit(
             "seen",
             new_seen,
@@ -217,12 +221,19 @@ class Crawler:
         )
         storage.commit("fetch_log", full_log)
         storage.commit("frontier", next_frontier)
+        # docs total only matters for the A2 cap check — avoid the extra job
+        # otherwise (each driver-side action is a full Spark job per round)
+        n_docs = (
+            storage.read("documents").count()
+            if cfg.total_doc_cap is not None
+            else -1
+        )
         return RoundStats(
             round_no=round_no,
-            scheduled=n_sched,
-            ok=n_ok,
-            failed=n_failed,
-            dead_lettered=n_dead,
-            new_docs_total=storage.read("documents").count(),
-            frontier_size=storage.read("frontier").count(),
+            scheduled=int(counts["sched"]),
+            ok=int(counts["ok"] or 0),
+            failed=int(counts["failed"] or 0),
+            dead_lettered=int(counts["dead"] or 0),
+            new_docs_total=n_docs,
+            frontier_size=-1,
         )

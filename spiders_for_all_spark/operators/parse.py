@@ -264,6 +264,9 @@ ENVELOPE_SCHEMA = T.StructType(
                 ]
             ),
         ),
+        # populated iff the body was not valid JSON (PERMISSIVE mode cannot
+        # otherwise distinguish '{}' from garbage — both give all-null rows)
+        T.StructField("_corrupt", T.StringType()),
     ]
 )
 
@@ -286,7 +289,8 @@ NOTE_SCHEMA = T.StructType(
                     ),
                 ]
             ),
-        )
+        ),
+        T.StructField("_corrupt", T.StringType()),
     ]
 )
 
@@ -396,7 +400,10 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
     # and multiply-referenced).
     is_env_kind0 = kind.isin("page", "cursor")
     env0 = F.when(
-        is_env_kind0 & is_http_ok, F.from_json(F.col("body"), ENVELOPE_SCHEMA)
+        is_env_kind0 & is_http_ok,
+        F.from_json(
+            F.col("body"), ENVELOPE_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt"}
+        ),
     )
     state_raw0 = F.when(
         (kind == "html") & is_http_ok,
@@ -409,7 +416,9 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
     state0 = F.when(
         (kind == "html") & is_http_ok,
         F.from_json(
-            F.regexp_replace(state_raw0, r"\bundefined\b", "null"), NOTE_SCHEMA
+            F.regexp_replace(state_raw0, r"\bundefined\b", "null"),
+            NOTE_SCHEMA,
+            {"columnNameOfCorruptRecord": "_corrupt"},
         ),
     )
     fetched = fetched.withColumns(
@@ -438,9 +447,15 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
     )
 
     note = state.getField("note")
+    env_corrupt = env.isNull() | env.getField("_corrupt").isNotNull()
+    state_corrupt = (
+        (state_raw == "")
+        | state.isNull()
+        | state.getField("_corrupt").isNotNull()
+        | note.isNull()
+    )
     parse_failed = is_http_ok & (
-        (is_env_kind & env.isNull())
-        | ((kind == "html") & ((state_raw == "") | state.isNull() | note.isNull()))
+        (is_env_kind & env_corrupt) | ((kind == "html") & state_corrupt)
     )
     parse_error = F.when(parse_failed, F.lit("ParseError: malformed body")).otherwise(
         F.lit(None).cast("string")

@@ -128,7 +128,7 @@ def assert_engine_matches_sim(spark, storage, sim):
     assert eng_dead == set(sim.dead_letters)
 
 
-@pytest.mark.parametrize("budget", [1, 2, 5])
+@pytest.mark.parametrize("budget", [1, 5])
 def test_crawl_matches_simulator(spark, world, tmp_path, budget):
     storage, stats = run_engine(spark, world, tmp_path / f"wh{budget}", budget=budget)
     sim = simulate(

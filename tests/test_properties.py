@@ -1,0 +1,149 @@
+"""Property-based tests (hypothesis) for the deterministic core.
+
+These cover the invariants the golden tests rely on: canonicalization
+idempotence + python/Catalyst agreement, frontier successor round-trips,
+and engine≍simulator equality on randomized sites.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spiders_for_all_spark.functions.urls import canonicalize_url_py, host_of_url_py
+from spiders_for_all_spark.operators.frontier import (
+    next_cursor_url_py,
+    next_page_url_py,
+    url_page_no_py,
+)
+
+scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS"])
+host = st.from_regex(r"[a-zA-Z0-9][a-zA-Z0-9.-]{0,20}", fullmatch=True)
+path = st.from_regex(r"(/[a-zA-Z0-9._~-]{0,8}){0,4}", fullmatch=True)
+qkey = st.from_regex(r"[a-z]{1,6}", fullmatch=True)
+qval = st.from_regex(r"[a-zA-Z0-9_-]{0,8}", fullmatch=True)
+query = st.lists(st.tuples(qkey, qval), min_size=0, max_size=5)
+fragment = st.sampled_from(["", "#frag", "#a/b?c=1"])
+
+
+@st.composite
+def urls(draw):
+    s = draw(scheme)
+    h = draw(host)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    p = draw(path)
+    q = draw(query)
+    qs = "&".join(f"{k}={v}" for k, v in q)
+    f = draw(fragment)
+    return f"{s}://{h}{port}{p}" + (f"?{qs}" if qs else "") + f
+
+
+@given(urls())
+@settings(max_examples=300, suppress_health_check=[HealthCheck.too_slow])
+def test_canonicalize_idempotent(u):
+    c = canonicalize_url_py(u)
+    assert canonicalize_url_py(c) == c
+    # canonical form always has a path and no default port / fragment
+    assert "#" not in c
+    assert ":80/" not in c and ":443/" not in c
+    assert host_of_url_py(c) == host_of_url_py(u)
+
+
+@given(st.integers(min_value=1, max_value=10**6), st.integers(1, 99))
+def test_page_succession_roundtrip(page, size):
+    u = f"https://h.com/api/list?chain=3&page={page}&size={size}"
+    nxt = next_page_url_py(u)
+    assert url_page_no_py(nxt) == page + 1
+    assert nxt.replace(f"page={page + 1}", "") == u.replace(f"page={page}", "")
+
+
+@given(st.from_regex(r"[a-zA-Z0-9]{0,12}", fullmatch=True),
+       st.from_regex(r"[a-zA-Z0-9]{1,12}", fullmatch=True))
+def test_cursor_succession(cur, nxt):
+    u = f"https://h.com/api/comments?chain=0&cursor={cur}"
+    out = next_cursor_url_py(u, nxt)
+    assert out == f"https://h.com/api/comments?chain=0&cursor={nxt}"
+
+
+def test_canonicalize_spark_agrees_on_random_urls(spark):
+    import random
+
+    rng = random.Random(123)
+    examples = []
+    for _ in range(200):
+        s = rng.choice(["http", "HTTP", "https"])
+        h = "".join(rng.choice("abcXYZ09.-") for _ in range(rng.randint(1, 12))).strip("-.") or "h"
+        port = rng.choice(["", ":80", ":443", ":9090"])
+        p = rng.choice(["", "/", "/a/b", "/A%20b"])
+        q = "&".join(
+            f"{rng.choice('abc')}={rng.randint(0, 99)}" for _ in range(rng.randint(0, 4))
+        )
+        u = f"{s}://{h}{port}{p}" + (f"?{q}" if q else "") + rng.choice(["", "#z"])
+        examples.append(u)
+    from pyspark.sql import functions as F
+    from spiders_for_all_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in examples], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [canonicalize_url_py(u) for u in examples]
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_engine_equals_simulator_on_random_sites(spark, tmp_path, seed):
+    """Randomized-world golden equality (smaller than the main golden suite)."""
+    import random
+
+    from spiders_for_all_spark import fixtures as FX
+    from spiders_for_all_spark.engine import Crawler, CrawlConfig
+    from spiders_for_all_spark.functions.urls import canonicalize_url
+    from spiders_for_all_spark.simulator import simulate
+    from spiders_for_all_spark.sources.fetcher import SyntheticFetcher
+    from spiders_for_all_spark.storage import SnapshotStorage
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    rows, seeds = FX.build_site(
+        n_hosts=rng.randint(1, 3),
+        page_chains=rng.randint(1, 2),
+        pages_per_chain=rng.randint(1, 4),
+        page_size=rng.randint(1, 3),
+        cursor_pages=rng.randint(1, 3),
+        notes_per_host=rng.randint(0, 2),
+        seed=seed,
+    )
+    fail_candidates = sorted(r["url"] for r in rows)
+    fail_specs = {
+        u: (rng.randint(1, 4), rng.choice(["http", "code", "parse"]))
+        for u in rng.sample(fail_candidates, min(3, len(fail_candidates)))
+    }
+    rows, seeds = FX.build_site(
+        n_hosts=rng.randint(1, 3), page_chains=1, pages_per_chain=3,
+        page_size=2, cursor_pages=2, notes_per_host=1, seed=seed,
+        fail_specs={u: s for u, s in fail_specs.items()},
+    )
+    site = str(tmp_path / "p.parquet")
+    FX.write_site(rows, site)
+    budget = rng.randint(1, 4)
+    storage = SnapshotStorage(spark, str(tmp_path / "wh"))
+    Crawler(
+        spark, storage, SyntheticFetcher(site, partitions=4),
+        CrawlConfig(max_rounds=40, default_budget=budget, max_attempts=3),
+    ).run(seeds=seeds)
+    sim = simulate(FX.site_index(rows), seeds, max_rounds=40,
+                   default_budget=budget, max_attempts=3)
+    log = storage.read("fetch_log")
+    eng = sorted(
+        (int(r["round"]), r["c"])
+        for r in log.select("round", canonicalize_url(F.col("url")).alias("c")).collect()
+    )
+    assert eng == sorted((rnd, c) for rnd, c, _ in sim.visits)
+    docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in storage.read("documents").collect()
+    }
+    simdocs = {
+        k: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in v]
+        for k, v in sim.documents.items()
+    }
+    assert docs == simdocs

@@ -27,6 +27,7 @@ def run_bench(cpus: int, frontier_n: int) -> dict:
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_FRONTIER_N=str(frontier_n),
         SPARK_GRAFT_BENCH_CRAWL_ONLY="1",
+        SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -41,10 +42,24 @@ def run_bench(cpus: int, frontier_n: int) -> dict:
 
 
 def main() -> None:
-    frontier_n = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "1000000"))
+    frontier_n = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "4000000"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
     lo, hi = 8, 32
-    r_lo = run_bench(lo, frontier_n)
-    r_hi = run_bench(hi, frontier_n)
+    # the sandbox host's CPU allocation varies over time (burst throttling),
+    # so the two sizes are measured in alternating A/B rounds and the best
+    # round per size is compared — adjacent measurements see comparable
+    # conditions, and interference only ever lowers a number
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(run_bench(lo, frontier_n))
+        hi_runs.append(run_bench(hi, frontier_n))
+    r_lo = max(lo_runs, key=lambda r: r["value"])
+    r_hi = max(hi_runs, key=lambda r: r["value"])
+    all_obs = {
+        f"local[{lo}]_runs": [r["value"] for r in lo_runs],
+        f"local[{hi}]_runs": [r["value"] for r in hi_runs],
+    }
+    print(json.dumps(all_obs))
     eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
     summary = {
         "frontier_n": frontier_n,
@@ -61,7 +76,11 @@ def main() -> None:
 
 Identical crawl-round job (seen anti-join -> politeness window -> fetch
 mapInPandas -> Catalyst parse -> doc extraction) on the same
-{frontier_n:,}-URL synthetic frontier, fresh JVM per run:
+{frontier_n:,}-URL synthetic frontier, fresh JVM per run, steady-state
+(untimed warm-up round, min of timed repetitions, no shuffle reuse).
+The host's CPU allocation varies over time, so sizes were measured in
+{rounds} alternating A/B rounds; best round per size shown (all
+observations: {all_obs}):
 
 | parallelism | URLs/sec |
 |---|---|

@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=30)
     ap.add_argument("--bloom", action="store_true")
+    ap.add_argument("--bloom-partitioned", action="store_true",
+                    help="cogrouped bloom probe (no driver broadcast)")
     ap.add_argument("--salt-n", type=int, default=1)
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a deterministic site + seeds")
@@ -65,7 +67,8 @@ def main() -> None:
         CrawlConfig(
             max_rounds=args.rounds,
             default_budget=args.budget,
-            use_bloom=args.bloom,
+            use_bloom=args.bloom or args.bloom_partitioned,
+            bloom_partitioned=args.bloom_partitioned,
             salt_n=args.salt_n,
         ),
     )

@@ -43,9 +43,19 @@ class CrawlConfig:
     total_doc_cap: int | None = None  # A2: global stop condition
     salt_n: int = 1  # >1 enables two-phase salted scheduling
     use_bloom: bool = False
-    partition_seen_by_bucket: bool = False  # bucket-partitioned snapshots (PLANS.md)
+    # True routes the bloom probe through the cogrouped partition-wise path
+    # (dedup.seen_anti_join_bloom_partitioned): no driver collect/broadcast of
+    # the bitmap table — required once the bitmaps outgrow driver memory
+    # (~GBs at 10^10 keys); the broadcast path is faster while they fit.
+    bloom_partitioned: bool = False
     n_buckets: int = D.DEFAULT_BUCKETS
     bloom_expected_per_bucket: int = 10_000
+    # fold append-only seen/fetch_log deltas back into one dir every N rounds
+    # (Iceberg rewrite_data_files): keeps file counts bounded on long crawls
+    compact_every: int = 64
+    # pinned ISO timestamp for create_at/update_at (deterministic tests);
+    # None = wall clock (F.current_timestamp()), the production default
+    pinned_now: str | None = None
 
 
 @dataclass
@@ -140,7 +150,14 @@ class Crawler:
             bloom = D.build_bloom(
                 seen, cfg.n_buckets, cfg.bloom_expected_per_bucket
             )
-            candidates = D.seen_anti_join_bloom(frontier, seen, bloom, cfg.n_buckets)
+            if cfg.bloom_partitioned:
+                candidates = D.seen_anti_join_bloom_partitioned(
+                    frontier, seen, bloom, cfg.n_buckets
+                )
+            else:
+                candidates = D.seen_anti_join_bloom(
+                    frontier, seen, bloom, cfg.n_buckets
+                )
         else:
             candidates = D.seen_anti_join(frontier, seen)
 
@@ -157,9 +174,20 @@ class Crawler:
         ok = parsed.filter(ok_cond())
         failed = parsed.filter(~ok_cond())
 
-        # 6. documents MERGE (K2 upsert semantics)
-        docs = DOCS.docs_from_parsed(ok)
-        storage.merge_upsert("documents", docs, key="doc_id")
+        # 6. documents MERGE (K2 upsert semantics): bucketed copy-on-write —
+        # only the doc_id buckets this round touches are rewritten.
+        # create_at survives updates, update_at is refreshed (F7 lineage).
+        now = (
+            F.lit(cfg.pinned_now).cast("timestamp")
+            if cfg.pinned_now
+            else F.current_timestamp()
+        )
+        docs = DOCS.docs_from_parsed(ok).withColumns(
+            {"create_at": now, "update_at": now}
+        )
+        staged_docs = storage.stage_merge(
+            "documents", docs, key="doc_id", keep_on_match=["create_at"]
+        )
 
         # 7. successors + retries -> next frontier
         succ = FR.successors(ok, round_no + 1, cfg.max_depth)
@@ -170,14 +198,20 @@ class Crawler:
         )
         dead = failed.filter(F.col("attempt") + 1 >= cfg.max_attempts)
 
-        # 8. seen += successfully fetched + dead-lettered (retries stay unseen)
-        fetched_done = ok.select("url_hash").unionByName(dead.select("url_hash"))
-        new_seen = D.with_bucket(
-            seen.select("url_hash").unionByName(fetched_done).distinct(),
+        # 8. seen += successfully fetched + dead-lettered (retries stay
+        # unseen).  These rows survived the anti-join, so they are disjoint
+        # from `seen` and unique (frontier is url_hash-unique): the commit is
+        # a pure APPEND of O(fetched-this-round) rows — never a rewrite of
+        # the full seen set (VERDICT r01 item 3).
+        seen_delta = D.with_bucket(
+            ok.select("url_hash").unionByName(dead.select("url_hash")),
             cfg.n_buckets,
         )
+        staged_seen = storage.stage_append("seen", seen_delta)
 
-        # 9. fetch_log lineage (A1 success/failure metrics, per partition)
+        # 9. fetch_log lineage (A1 metrics, per partition) — append-only:
+        # a crawl of R rounds writes O(rows-per-round), not O(R^2)
+        # (VERDICT r01 item 2).
         log_rows = parsed.select(
             "url",
             "url_hash",
@@ -193,19 +227,28 @@ class Crawler:
             "latency_ms",
             "partition_id",
             (~ok_cond() & (F.col("attempt") + 1 >= cfg.max_attempts)).alias("dead_letter"),
+            "media_ref",
+            "n_chunks",
+            F.length("media_bytes").cast("long").alias("bytes_fetched"),
         )
-        full_log = storage.read("fetch_log").unionByName(log_rows)
+        staged_log = storage.stage_append("fetch_log", log_rows)
 
         # 10. next frontier: unscheduled remainder ∪ successors ∪ retries,
-        # minus anything now seen, one row per url_hash
+        # minus anything now seen (old seen ∪ this round's delta), one row
+        # per url_hash
         remainder = frontier.join(
             scheduled.select("url_hash"), on="url_hash", how="left_anti"
         )
-        next_frontier = FR.dedup_frontier(
-            remainder.unionByName(succ).unionByName(retries)
-        ).join(new_seen.select("url_hash"), on="url_hash", how="left_anti")
+        next_frontier = (
+            FR.dedup_frontier(remainder.unionByName(succ).unionByName(retries))
+            .join(seen_delta.select("url_hash"), on="url_hash", how="left_anti")
+            .join(seen.select("url_hash"), on="url_hash", how="left_anti")
+        )
+        staged_frontier = storage.stage_overwrite("frontier", next_frontier)
 
-        # 11. snapshot commits = the resumable checkpoint for this round
+        # 11. ONE atomic catalog flip commits the whole round: a crash
+        # anywhere above leaves every table at round N-1 — no partial round
+        # is ever visible, so resume never loses successors or retry state.
         counts = parsed.agg(
             F.count("*").alias("sched"),
             F.sum(ok_cond().cast("int")).alias("ok"),
@@ -214,13 +257,13 @@ class Crawler:
                 (~ok_cond() & (F.col("attempt") + 1 >= cfg.max_attempts)).cast("int")
             ).alias("dead"),
         ).collect()[0]
-        storage.commit(
-            "seen",
-            new_seen,
-            partition_by=["bucket"] if cfg.partition_seen_by_bucket else None,
-        )
-        storage.commit("fetch_log", full_log)
-        storage.commit("frontier", next_frontier)
+        storage.commit_multi([staged_docs, staged_seen, staged_log, staged_frontier])
+
+        # maintenance: fold append deltas back into one dir periodically
+        if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
+            storage.compact("seen")
+            storage.compact("fetch_log")
+
         # docs total only matters for the A2 cap check — avoid the extra job
         # otherwise (each driver-side action is a full Spark job per round)
         n_docs = (

@@ -54,6 +54,7 @@ def build_site(
     images_per_note: int = 2,
     fail_specs: dict[str, tuple[int, str]] | None = None,
     hot_host_extra_chains: int = 0,
+    alias_note_seed: bool = False,
     seed: int = 42,
 ) -> tuple[list[dict], list[dict]]:
     """Return (pages_rows, seed_rows).
@@ -63,7 +64,10 @@ def build_site(
     (retry-matrix semantics per FIXTURES.md §7; reference retry wrapper at
     utils/decorator.py:13-47).  ``hot_host_extra_chains`` adds extra page
     chains to host 0 to manufacture frontier skew (the single-hot-API-host
-    pattern, SURVEY §4.4).
+    pattern, SURVEY §4.4).  ``alias_note_seed`` seeds the first note TWICE
+    under distinct raw URLs with the identical canonical form (uppercase
+    scheme + fragment) — exercising the frontier-dedup tiebreak between
+    identical-canonical rows (engine min(struct) ≍ simulator rule).
     """
     rng = random.Random(seed)
     rows: list[dict] = []
@@ -162,14 +166,17 @@ def build_site(
                 if j % 2 == 0
                 else "undefined"
             )
+            # newlines BETWEEN JSON tokens and inside <title>: the state blob
+            # and title span lines, so the Catalyst (?s)/re.S regexes are
+            # exercised on genuinely multiline bodies (ADVICE r01)
             state = (
-                f'{{"note": {{"id": "{nid}", "title": "note {j} of {h}", '
-                f'"desc": "{_text(rng, 8)}", "imageList": {json.dumps(imgs)}, '
+                f'{{"note": {{\n"id": "{nid}", "title": "note {j} of {h}", '
+                f'"desc": "{_text(rng, 8)}", "imageList": {json.dumps(imgs)},\n'
                 f'"video": {video}}}}}'
             )
             body = (
-                f"<html><head><title>note {j} | {h}</title></head><body>"
-                f"<script>window.__INITIAL_STATE__={state};</script></body></html>"
+                f"<html><head><title>note {j} |\n{h}</title></head><body>\n"
+                f"<script>window.__INITIAL_STATE__ =\n{state};</script></body></html>"
             )
             rows.append(
                 _page_row(f"https://{h}/note/n{j}", "html", body, latency_ms=5 + rng.randrange(20))
@@ -183,7 +190,30 @@ def build_site(
                 if "/media/" in part and part.startswith("https://"):
                     media_urls.add(part)
     for u in sorted(media_urls):
-        rows.append(_page_row(u, "media", None, latency_ms=1))
+        # deterministic chunked payload (S6): length derived from the URL so
+        # every media file spans multiple DEFAULT_CHUNK_SIZE chunks
+        payload = f"MEDIA:{u}:" + "x" * (17 + (len(u) * 7) % 48)
+        rows.append(_page_row(u, "media", payload, latency_ms=1))
+
+    # ---- identical-canonical alias seeds (frontier tiebreak coverage) -----
+    if alias_note_seed and notes_per_host:
+        h0 = host(0)
+        orig = f"https://{h0}/note/n0"
+        orig_row = next(r for r in rows if r["url"] == orig)
+        # distinct raw forms, identical canonical form; the uppercase-scheme
+        # alias sorts lexicographically BEFORE the original raw URL, so the
+        # min-by-url tiebreak must pick it over first-seen insertion order
+        alias = f"HTTPS://{h0}/note/n0#dup"
+        # the alias serves a DIFFERENT title, so which raw URL the scheduler
+        # picks is observable through the doc's span text — a tiebreak
+        # divergence between engine and simulator fails the span equality
+        rows.append(
+            dict(orig_row, url=alias, body=orig_row["body"].replace(
+                '"title": "note 0 of', '"title": "ALIAS note 0 of'
+            ))
+        )
+        seeds.append({"url": orig, "priority": 0, "kind": "html"})
+        seeds.append({"url": alias, "priority": 0, "kind": "html"})
 
     for r in rows:
         if r["url"] in fail_specs:

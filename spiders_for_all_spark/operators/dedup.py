@@ -235,7 +235,40 @@ class CuckooFilter:
             % np.uint64(self.m)
         ).astype(np.int64)
 
-    # -- single-key ops (used at build/delete time) -------------------------
+    # -- vectorized bulk build ------------------------------------------------
+    def bulk_insert(self, hashes: np.ndarray) -> bool:
+        """Insert a batch with numpy passes; returns False if any key
+        overflowed (could not be placed even after kicks).
+
+        Each (candidate-bucket, slot) pass places at most one pending key
+        per bucket — 2 buckets x SLOTS passes settle ~all keys at the 0.85
+        design load; only the residue takes the per-key kick path.  Slot
+        layout may differ from sequential insertion, but membership
+        semantics (`contains`) are layout-independent.
+        """
+        h = hashes.astype(np.int64)
+        fp = self._fp(h)
+        i1 = self._i1(h)
+        i2 = self._i2(i1, fp)
+        pending = np.arange(len(h))
+        for bucket_of in (i1, i2):
+            for s in range(self.SLOTS):
+                if len(pending) == 0:
+                    return True
+                b = bucket_of[pending]
+                _, first_idx = np.unique(b, return_index=True)
+                cand = np.zeros(len(b), dtype=bool)
+                cand[first_idx] = True
+                place = cand & (self.table[b, s] == 0)
+                self.table[b[place], s] = fp[pending[place]]
+                pending = pending[~place]
+        ok = True
+        for j in pending:  # kick path for the residue only
+            if not self.insert(int(h[j])):
+                ok = False
+        return ok
+
+    # -- single-key ops (used at delete/kick time) -------------------------
     def insert(self, h: int) -> bool:
         arr = np.array([h], dtype=np.int64)
         fp = int(self._fp(arr)[0])
@@ -297,7 +330,7 @@ class CuckooFilter:
         return f
 
 
-CUCKOO_SCHEMA = "bucket int, capacity int, table binary"
+CUCKOO_SCHEMA = "bucket int, capacity int, table binary, overflowed boolean"
 
 
 def build_cuckoo(
@@ -305,17 +338,25 @@ def build_cuckoo(
     n_buckets: int = DEFAULT_BUCKETS,
     capacity_per_bucket: int = 10_000,
 ) -> DataFrame:
-    """Per-bucket cuckoo filters over seen.url_hash (applyInPandas UDAF)."""
+    """Per-bucket cuckoo filters over seen.url_hash (applyInPandas UDAF).
+
+    Sized from the ACTUAL bucket row count (never below
+    ``capacity_per_bucket``), built with the vectorized bulk path.  If any
+    key still overflows, the bucket is flagged ``overflowed`` and the probe
+    routes its whole frontier slice to the exact confirm — an overflow can
+    therefore never create a false negative (a seen URL re-emitted as new).
+    """
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        f = CuckooFilter(capacity_per_bucket)
-        for h in pdf["url_hash"]:
-            f.insert(int(h))
+        cap = max(capacity_per_bucket, len(pdf))
+        f = CuckooFilter(cap)
+        all_ok = f.bulk_insert(pdf["url_hash"].to_numpy(np.int64))
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["bucket"].iloc[0])],
-                "capacity": [capacity_per_bucket],
+                "capacity": [cap],
                 "table": [f.to_bytes()],
+                "overflowed": [not all_ok],
             }
         )
 
@@ -334,7 +375,9 @@ def cuckoo_delete(cuckoo: DataFrame, deletions: DataFrame,
 
     def apply_del(filters: pd.DataFrame, todel: pd.DataFrame) -> pd.DataFrame:
         if len(filters) == 0:
-            return pd.DataFrame(columns=["bucket", "capacity", "table"])
+            return pd.DataFrame(
+                columns=["bucket", "capacity", "table", "overflowed"]
+            )
         if len(todel):
             f = CuckooFilter.from_bytes(bytes(filters["table"].iloc[0]))
             for h in todel["url_hash"]:
@@ -370,6 +413,9 @@ def seen_anti_join_cuckoo(
             return pd.DataFrame(columns=out_cols)
         if len(right) == 0:
             return left.assign(_maybe=False)[out_cols]
+        if bool(right["overflowed"].iloc[0]):
+            # filter is lossy for this bucket: exact-confirm everything
+            return left.assign(_maybe=True)[out_cols]
         f = CuckooFilter.from_bytes(bytes(right["table"].iloc[0]))
         hit = f.contains(left["url_hash"].to_numpy(np.int64))
         return left.assign(_maybe=hit)[out_cols]

@@ -68,8 +68,17 @@ def url_page_no_py(url: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _quote_replacement(c: Column) -> Column:
+    """Escape '\\' and '$' so a column value is a LITERAL Java-regex
+    replacement (java.util.regex.Matcher.quoteReplacement semantics) — a
+    cursor like '$2' must not be read as a group reference."""
+    return F.regexp_replace(c, r"([\\$])", r"\\$1")
+
+
 def next_cursor_url(url: Column, next_cursor: Column) -> Column:
-    return F.regexp_replace(url, F.lit(_CURSOR_RE), F.concat(F.lit("$1"), next_cursor))
+    return F.regexp_replace(
+        url, F.lit(_CURSOR_RE), F.concat(F.lit("$1"), _quote_replacement(next_cursor))
+    )
 
 
 def next_cursor_url_py(url: str, next_cursor: str) -> str:
@@ -88,13 +97,14 @@ def seeds_to_frontier(spark, seeds: list[dict]) -> DataFrame:
             s.get("cursor"),
             s.get("page_no"),
             s.get("kind") or kind_of_url_py(s["url"]),
+            s.get("backup_urls"),
         )
         for s in seeds
     ]
     df = spark.createDataFrame(
         rows,
         "url string, priority int, discovery_round int, depth int, attempt int,"
-        " cursor string, page_no int, kind string",
+        " cursor string, page_no int, kind string, backup_urls array<string>",
     )
     return normalize_frontier(with_url_columns(df))
 
@@ -111,6 +121,7 @@ FRONTIER_COLS = [
     "cursor",
     "page_no",
     "kind",
+    "backup_urls",
 ]
 
 
@@ -136,6 +147,7 @@ def successors(parsed_ok: DataFrame, round_no: int, max_depth: int) -> DataFrame
             F.lit(None).cast("string").alias("cursor"),
             (url_page_no(F.col("url")) + 1).alias("page_no"),
             F.lit("page").alias("kind"),
+            F.lit(None).cast("array<string>").alias("backup_urls"),
         )
     )
     cursor_succ = (
@@ -154,6 +166,7 @@ def successors(parsed_ok: DataFrame, round_no: int, max_depth: int) -> DataFrame
             F.col("next_cursor").alias("cursor"),
             F.lit(None).cast("int").alias("page_no"),
             F.lit("cursor").alias("kind"),
+            F.lit(None).cast("array<string>").alias("backup_urls"),
         )
     )
     links = (
@@ -172,6 +185,7 @@ def successors(parsed_ok: DataFrame, round_no: int, max_depth: int) -> DataFrame
             F.lit(None).cast("string").alias("cursor"),
             F.lit(None).cast("int").alias("page_no"),
             kind_of_url(F.col("url")).alias("kind"),
+            F.lit(None).cast("array<string>").alias("backup_urls"),
         )
     )
     return normalize_frontier(
@@ -197,6 +211,7 @@ def dedup_frontier(frontier: DataFrame) -> DataFrame:
         "cursor",
         "page_no",
         "kind",
+        "backup_urls",
     )
     agg = frontier.groupBy("url_hash").agg(F.min(strukt).alias("r"))
     return normalize_frontier(agg.select("url_hash", "r.*"))

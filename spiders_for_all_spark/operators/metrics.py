@@ -34,6 +34,33 @@ def partition_metrics(fetch_log: DataFrame) -> DataFrame:
     )
 
 
+def politeness_pacing(
+    fetch_log: DataFrame, round_seconds: float
+) -> DataFrame:
+    """Per-(round, host) achieved fetch rate at a given round cadence.
+
+    The politeness *budget* (top-k per host per round) only bounds a host's
+    request RATE when divided by the round wall-clock: at ``round_seconds``
+    per round, a budget of B means <= B/round_seconds URLs/host/sec.  This
+    metric computes the achieved urls_per_host_sec so a budget can be
+    checked against a target rate (the reference's 3-11 s inter-request
+    sleeps correspond to ~0.09-0.33 URLs/host/sec — BASELINE.md row 3).
+    """
+    from spiders_for_all_spark.functions.urls import url_host
+
+    per_host = fetch_log.groupBy(
+        "round", url_host(F.col("url")).alias("host")
+    ).agg(F.count("*").alias("fetched"))
+    return per_host.select(
+        "round",
+        "host",
+        "fetched",
+        F.round(F.col("fetched") / F.lit(float(round_seconds)), 6).alias(
+            "urls_per_host_sec"
+        ),
+    )
+
+
 def error_breakdown(fetch_log: DataFrame) -> DataFrame:
     return (
         fetch_log.filter(F.col("error").isNotNull())

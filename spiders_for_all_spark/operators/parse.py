@@ -49,6 +49,21 @@ INITIAL_STATE_RE = re.compile(
 TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
 UNDEFINED_RE = re.compile(r"\bundefined\b")
 
+# S6 — media span kind from the file extension (reference MediaType routing:
+# core/media.py:7-11; downloader picks by suffix at core/downloader.py:48-49)
+MEDIA_EXT = {
+    "jpg": "image", "jpeg": "image", "png": "image", "gif": "image",
+    "webp": "image",
+    "mp4": "video", "mov": "video", "m4v": "video", "flv": "video",
+    "mp3": "audio", "m4a": "audio", "aac": "audio", "wav": "audio",
+}
+_EXT_RE = re.compile(r"\.([a-zA-Z0-9]+)(?:[?#]|$)")
+
+
+def media_kind_of_py(url: str) -> str:
+    m = _EXT_RE.search(url or "")
+    return MEDIA_EXT.get(m.group(1).lower() if m else "", "image")
+
 
 def _span(kind: str, text: str | None, media_ref: str | None, offset: int) -> dict:
     return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
@@ -103,8 +118,19 @@ def note_to_doc(note: dict) -> dict:
     return _doc(str(note["id"]), spans)
 
 
-def parse_body(kind: str, url: str, status: int | None, body: str | None) -> dict[str, Any]:
-    """Pure extraction: one fetched row -> envelope + docs + out_links."""
+def parse_body(
+    kind: str,
+    url: str,
+    status: int | None,
+    body: str | None,
+    media_ref: str | None = None,
+) -> dict[str, Any]:
+    """Pure extraction: one fetched row -> envelope + docs + out_links.
+
+    ``media_ref`` (S6): the candidate URL that actually served the media
+    bytes after [url] + backup_urls failover; a successful media fetch
+    emits one single-span document keyed by the canonical frontier URL.
+    """
     out: dict[str, Any] = {
         "code": None,
         "success": None,
@@ -124,6 +150,15 @@ def parse_body(kind: str, url: str, status: int | None, body: str | None) -> dic
         out["page_title"] = (m.group(1) or None) if m else None
     out["code"], out["success"] = 0, True
     if kind == "media":
+        if media_ref:
+            from spiders_for_all_spark.functions.urls import canonicalize_url_py
+
+            out["docs"] = [
+                _doc(
+                    canonicalize_url_py(url),
+                    [(media_kind_of_py(media_ref), None, media_ref)],
+                )
+            ]
         return out
     try:
         if kind in ("page", "cursor"):
@@ -405,11 +440,13 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
             F.col("body"), ENVELOPE_SCHEMA, {"columnNameOfCorruptRecord": "_corrupt"}
         ),
     )
+    # (?s) = DOTALL: the python spec compiles these with re.S, so the Java
+    # regexes must also match across newlines (multiline state blobs/titles)
     state_raw0 = F.when(
         (kind == "html") & is_http_ok,
         F.regexp_extract(
             F.col("body"),
-            r"window\.__INITIAL_STATE__\s*=\s*(\{.+?\})\s*;?\s*</script>",
+            r"(?s)window\.__INITIAL_STATE__\s*=\s*(\{.+?\})\s*;?\s*</script>",
             1,
         ),
     ).otherwise(F.lit(""))
@@ -462,12 +499,42 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
     )
 
     good = is_http_ok & ~parse_failed
+
+    # S6 media doc: one single-span doc keyed by the canonical frontier URL,
+    # media_ref = the failover winner (Catalyst twin of parse_body's branch)
+    has_media_cols = "media_ref" in fetched.columns and "canonical_url" in fetched.columns
+    media_ref_col = (
+        F.col("media_ref") if has_media_cols else F.lit(None).cast("string")
+    )
+    ext = F.lower(F.regexp_extract(media_ref_col, r"\.([a-zA-Z0-9]+)(?:[?#]|$)", 1))
+    media_kind = (
+        F.when(ext.isin("jpg", "jpeg", "png", "gif", "webp"), "image")
+        .when(ext.isin("mp4", "mov", "m4v", "flv"), "video")
+        .when(ext.isin("mp3", "m4a", "aac", "wav"), "audio")
+        .otherwise("image")
+    )
+    media_doc = F.struct(
+        (F.col("canonical_url") if has_media_cols else F.lit(None).cast("string")).alias(
+            "doc_id"
+        ),
+        F.array(
+            F.struct(
+                media_kind.alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                media_ref_col.alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
     docs = F.when(
         good & (kind == "page") & env_ok, F.transform(items, _item_doc)
     ).when(
         good & (kind == "cursor") & env_ok, F.transform(comments, _comment_doc)
     ).when(
         good & (kind == "html"), F.array(_note_doc(note))
+    ).when(
+        good & (kind == "media") & media_ref_col.isNotNull(), F.array(media_doc)
     ).otherwise(F.array().cast(T.ArrayType(DOC_FIELD)))
 
     out_links = F.when(
@@ -504,7 +571,9 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
 
     page_title = F.when(
         (kind == "html") & is_http_ok,
-        F.nullif(F.regexp_extract(F.col("body"), "<title>(.*?)</title>", 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract(F.col("body"), "(?s)<title>(.*?)</title>", 1), F.lit("")
+        ),
     )
 
     return fetched.select(

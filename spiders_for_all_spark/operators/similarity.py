@@ -58,24 +58,11 @@ def brute_force_topk_per_query(
     )
 
 
-def lsh_ann_topk(
-    emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 6,
-    dim: int = 64,
+def probe_buckets(
+    query_vec: list[float], n_planes: int = 6, dim: int = 64,
     multiprobe: bool = True,
-) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket
-    (plus 1-bit-flip neighbor buckets when multiprobe), exact cosine inside.
-
-    At 10^9 vectors with 6 planes this scores ~n/64 · 7 candidates instead
-    of n — the partition-pruned IVF analog, expressed as a plain filter so
-    Catalyst pushes the bucket predicate to the scan when `bucket` is a
-    materialized partition column.
-    """
+) -> list[str]:
+    """The query's LSH bucket plus (multiprobe) every 1-bit-flip neighbor."""
     from spiders_for_all_spark.functions.vectors import plane_coefficients
 
     q_bits = []
@@ -92,10 +79,74 @@ def lsh_ann_topk(
             flipped = list(q_bucket)
             flipped[i] = "0" if flipped[i] == "1" else "1"
             probes.add("".join(flipped))
+    return sorted(probes)
 
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (plus 1-bit-flip neighbor buckets when multiprobe), exact cosine inside.
+
+    At 10^9 vectors with 6 planes this scores ~n/64 · 7 candidates instead
+    of n — the partition-pruned IVF analog, expressed as a plain filter so
+    Catalyst pushes the bucket predicate to the scan when `bucket` is a
+    materialized partition column (see :func:`materialize_lsh_buckets`).
+    """
+    probes = probe_buckets(query_vec, n_planes, dim, multiprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     bucketed = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
-    cands = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
+    cands = bucketed.filter(F.col("bucket").isin(*probes))
+    scored = cands.select(
+        F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def materialize_lsh_buckets(
+    emb: DataFrame,
+    out_path: str,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> str:
+    """One-time IVF-style index build: write the embedding table physically
+    partitioned by LSH bucket (Iceberg: PARTITIONED BY (bucket)).
+
+    At 10^9 vectors this is what turns the probe filter from a full scan
+    into a 7-of-2^n_planes partition read — the scale path the on-the-fly
+    variant cannot provide (VERDICT r01 item 7).
+    """
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    return out_path
+
+
+def lsh_ann_topk_materialized(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """ANN probe over the materialized bucket layout: the `bucket IN (...)`
+    predicate lands in the scan's PartitionFilters, so only the probe
+    buckets' files are ever opened (verified in PLANS.md)."""
+    probes = probe_buckets(query_vec, n_planes, dim, multiprobe)
+    df = spark.read.parquet(index_path)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = df.filter(F.col("bucket").isin(*probes))
     scored = cands.select(
         F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
     )

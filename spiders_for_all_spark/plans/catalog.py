@@ -994,3 +994,192 @@ def u2_backup_url_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.element_at(urls, attempt + 1).alias("chosen"),
     )
+
+
+# ===========================================================================
+# Round-2 additions — S6 chunk planning, F7 WBI signed URL + epoch, F8 seeded
+# fingerprint params, F10 filename-by-datetime, materialized-bucket ANN.
+
+from spiders_for_all_spark.functions.signing import (  # noqa: E402
+    MIXIN_KEY_ENC_TAB,
+    sorted_query_string,
+    wbi_sign,
+)
+
+
+@_register(
+    "s6_media_chunk_plan",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://backup0.example.com/m/' || doc_id || '.mp4'
+                ELSE 'https://' || source || '/m/' || doc_id || '.mp4'
+           END AS media_ref,
+           CAST(n_chars AS BIGINT) AS media_len,
+           CAST(CEIL(n_chars / 4096.0) AS INT) AS n_chunks
+    FROM documents WHERE n_chars > 0
+    """,
+)
+def s6_media_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — chunked media download plan: ordered [primary, backup] failover
+    choice (even doc_ids' primaries "fail") + CHUNK_SIZE accounting
+    (reference: core/downloader.py:184-218 iter_content loop,
+    core/media.py:36-42 backup list)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    primary = F.concat(
+        F.lit("https://"), F.col("source"), F.lit("/m/"),
+        F.col("doc_id").cast("string"), F.lit(".mp4"),
+    )
+    backup = F.concat(
+        F.lit("https://backup0.example.com/m/"),
+        F.col("doc_id").cast("string"), F.lit(".mp4"),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, backup).otherwise(primary).alias("media_ref"),
+        F.col("n_chars").cast("bigint").alias("media_len"),
+        F.ceil(F.col("n_chars") / F.lit(4096.0)).cast("int").alias("n_chunks"),
+    )
+
+
+# F7 — WBI-signed URL with pinned wts (production: unix_timestamp(now()));
+# the mixin key is the public 64-entry permutation of img_key+sub_key
+# truncated to 32 (reference spiders/bilibili/sign.py:86-129).
+
+_IMG_KEY = "7cd084941338484aae1ad9425b84077c"
+_SUB_KEY = "4932caff0ff746eab6f01bf08b70ac45"
+_MIXIN = "".join((_IMG_KEY + _SUB_KEY)[i] for i in MIXIN_KEY_ENC_TAB[:32])
+_WTS = "1718700000"
+
+
+@_register(
+    "f7_wbi_signed_url",
+    f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS bvid,
+           epoch(CAST(o_orderdate AS TIMESTAMP))::BIGINT AS order_epoch_s,
+           'https://api.example.com/x/wbi?bvid=' || o_orderkey ||
+               '&wts={_WTS}&w_rid=' ||
+               md5('bvid=' || o_orderkey || '&wts={_WTS}' || '{_MIXIN}')
+               AS signed_url
+    FROM orders
+    """,
+)
+def f7_wbi_signed_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — time/epoch column + full WBI request builder: params map ->
+    sorted query string (+ wts) -> w_rid = md5(query + mixin_key) -> URL
+    (reference spiders/bilibili/spiders.py:550-580, sign.py:86-129).
+    wts is pinned for oracle determinism; production uses
+    unix_timestamp(current_timestamp())."""
+    o = _t(spark, sf_dir, "orders")
+    params = F.create_map(
+        F.lit("bvid"), F.col("o_orderkey").cast("string"),
+        F.lit("wts"), F.lit(_WTS),
+    )
+    sig = wbi_sign(params, F.lit(_IMG_KEY), F.lit(_SUB_KEY))
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("bvid"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias(
+            "order_epoch_s"
+        ),
+        F.concat(
+            F.lit("https://api.example.com/x/wbi?"),
+            sorted_query_string(params),
+            F.lit("&w_rid="),
+            sig,
+        ).alias("signed_url"),
+    )
+
+
+@_register(
+    "f8_seeded_fingerprint",
+    """
+    SELECT c_custkey,
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':dm_img:42'), 1, 8))::BIGINT
+                % 100 AS INT) AS dm_img,
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':dm_cvr:42'), 1, 8))::BIGINT
+                % 100 AS INT) AS dm_cvr,
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':dm_rand:42'), 1, 8))::BIGINT
+                % 10 AS INT) + 2 AS dm_rand_len
+    FROM customer
+    """,
+)
+def f8_seeded_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — seeded pseudo-random fingerprint params (reference
+    spiders/bilibili/spiders.py:552-556 random dm_img_* values): md5-derived
+    so the "randomness" is reproducible on any cluster size / retry —
+    rand(seed) would NOT be (it is partition-layout dependent)."""
+
+    def seeded(tag: str, mod: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c_custkey").cast("string"), F.lit(f":{tag}:42")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % mod
+        ).cast("int")
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        seeded("dm_img", 100).alias("dm_img"),
+        seeded("dm_cvr", 100).alias("dm_cvr"),
+        (seeded("dm_rand", 10) + 2).alias("dm_rand_len"),
+    )
+
+
+@_register(
+    "f10_filename_datetime",
+    r"""
+    SELECT o_orderkey,
+           regexp_replace(o_orderpriority || '?*', '[\\\/:*?"<>|]', '_', 'g') || '_' ||
+               strftime(CAST(o_orderdate AS TIMESTAMP), '%Y%m%d-%H%M%S') ||
+               '.mp4' AS fname
+    FROM orders
+    """,
+)
+def f10_filename_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — filename-by-datetime: sanitized stem + yyyyMMdd-HHmmss suffix
+    (reference core/downloader.py:48-49 datetime.now().strftime filename)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.regexp_replace(
+                F.concat(F.col("o_orderpriority"), F.lit("?*")),
+                r'[\\\/:*?"<>|]',
+                "_",
+            ),
+            F.lit("_"),
+            F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyyMMdd-HHmmss"),
+            F.lit(".mp4"),
+        ).alias("fname"),
+    )
+
+
+@_register("ann_lsh_topk_materialized", _ann_lsh_oracle())
+def ann_lsh_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the materialized bucket-partitioned index: identical result
+    to ann_lsh_topk, but the probe reads ONLY its bucket partitions
+    (PartitionFilters prune the scan — the 10^9-vector path)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"sfas_lsh_idx_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        SIM.materialize_lsh_buckets(
+            _t(spark, sf_dir, "embeddings"), path, n_planes=6, dim=64
+        )
+    return SIM.lsh_ann_topk_materialized(
+        spark, path, _query_vec(spark, sf_dir), k=10, n_planes=6, dim=64
+    )

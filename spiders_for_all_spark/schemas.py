@@ -28,6 +28,11 @@ DOCUMENTS = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("spans", T.ArrayType(SPAN), False),
+        # F7 wall-clock lineage (reference: database/schema.py:23-29 —
+        # create_at server_default, update_at onupdate).  create_at survives
+        # upserts (merge keep_on_match); update_at is refreshed every merge.
+        T.StructField("create_at", T.TimestampType(), True),
+        T.StructField("update_at", T.TimestampType(), True),
     ]
 )
 
@@ -48,6 +53,9 @@ FRONTIER = T.StructType(
         T.StructField("cursor", T.StringType(), True),
         T.StructField("page_no", T.IntegerType(), True),
         T.StructField("kind", T.StringType(), False),
+        # S6/U2: ordered failover candidates AFTER the primary url (reference
+        # media.py:36-42 — [base_url] + backup_url list); null for non-media
+        T.StructField("backup_urls", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -90,6 +98,12 @@ FETCH_LOG = T.StructType(
         T.StructField("latency_ms", T.IntegerType(), True),
         T.StructField("partition_id", T.IntegerType(), True),
         T.StructField("dead_letter", T.BooleanType(), False),
+        # S6 media lineage: which candidate URL served the bytes, and the
+        # chunk accounting of the streamed download (reference
+        # core/downloader.py:184-218 — CHUNK_SIZE iter_content loop)
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("n_chunks", T.IntegerType(), True),
+        T.StructField("bytes_fetched", T.LongType(), True),
     ]
 )
 

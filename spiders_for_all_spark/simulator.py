@@ -54,7 +54,8 @@ def simulate(
     res = SimResult()
 
     # frontier entry: (url, canon, host, priority, discovery_round, depth, attempt, kind)
-    def entry(url: str, priority: int, disc: int, depth: int, attempt: int, kind: str | None):
+    def entry(url: str, priority: int, disc: int, depth: int, attempt: int,
+              kind: str | None, backup_urls: list[str] | None = None):
         return {
             "url": url,
             "canon": canonicalize_url_py(url),
@@ -64,23 +65,43 @@ def simulate(
             "depth": depth,
             "attempt": attempt,
             "kind": kind or kind_of_url_py(url),
+            "backup_urls": backup_urls,
         }
+
+    def dedup_key(e: dict) -> tuple:
+        # mirrors the engine's min(struct(priority, discovery_round, attempt,
+        # canonical_url, url, host, depth, cursor, page_no, kind)) ordering
+        # (operators/frontier.py:dedup_frontier) — Spark struct comparison
+        # sorts NULL field values first, encoded here as (is_not_null, value)
+        return (
+            e["priority"],
+            e["discovery_round"],
+            e["attempt"],
+            e["canon"],
+            e["url"],
+            e["host"],
+            e["depth"],
+            (e.get("cursor") is not None, e.get("cursor") or ""),
+            (e.get("page_no") is not None, e.get("page_no") or 0),
+            e["kind"],
+            (e.get("backup_urls") is not None, tuple(e.get("backup_urls") or ())),
+        )
 
     def dedup(entries: list[dict]) -> list[dict]:
         best: dict[str, dict] = {}
         for e in entries:
             k = e["canon"]
             cur = best.get(k)
-            if cur is None or (e["priority"], e["discovery_round"], e["attempt"]) < (
-                cur["priority"],
-                cur["discovery_round"],
-                cur["attempt"],
-            ):
+            if cur is None or dedup_key(e) < dedup_key(cur):
                 best[k] = e
         return list(best.values())
 
     frontier = dedup(
-        [entry(s["url"], int(s.get("priority", 0)), 0, 0, 0, s.get("kind")) for s in seeds]
+        [
+            entry(s["url"], int(s.get("priority", 0)), 0, 0, 0, s.get("kind"),
+                  s.get("backup_urls"))
+            for s in seeds
+        ]
     )
 
     for round_no in range(max_rounds):
@@ -112,8 +133,20 @@ def simulate(
         sched_canons = {e["canon"] for e in scheduled}
         for e in sorted(scheduled, key=lambda x: (x["host"], x["rank"])):
             res.visits.append((round_no, e["canon"], e["rank"]))
-            status, body, _err = synthetic_response(site.get(e["url"]), e["attempt"])
-            p = parse_body(e["kind"], e["url"], status, body)
+            if e["kind"] == "media":
+                # S6 failover: try [url] + backup_urls in order within ONE
+                # attempt (reference core/media.py:36-42); the winner becomes
+                # the doc's media_ref
+                winner, status, body = None, None, None
+                for cu in [e["url"]] + list(e.get("backup_urls") or []):
+                    status, body, _err = synthetic_response(site.get(cu), e["attempt"])
+                    if status == 200:
+                        winner = cu
+                        break
+                p = parse_body("media", e["url"], status, body, media_ref=winner)
+            else:
+                status, body, _err = synthetic_response(site.get(e["url"]), e["attempt"])
+                p = parse_body(e["kind"], e["url"], status, body)
             ok = (
                 status == 200
                 and p["code"] == 0

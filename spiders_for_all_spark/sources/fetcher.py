@@ -34,7 +34,54 @@ FETCH_FIELDS = [
     T.StructField("latency_ms", T.IntegerType(), True),
     T.StructField("error", T.StringType(), True),
     T.StructField("partition_id", T.IntegerType(), True),
+    # S6 media: failover winner + chunk-streamed payload accounting
+    # (reference core/downloader.py:184-218, core/media.py:36-42)
+    T.StructField("media_ref", T.StringType(), True),
+    T.StructField("media_bytes", T.BinaryType(), True),
+    T.StructField("n_chunks", T.IntegerType(), True),
+    # set when the fetcher runs with a media sink: bytes were streamed to
+    # this file DURING the fetch (media_bytes stays null) — the scale path
+    # per SURVEY §2 S6 ("never materialize bytes in a column")
+    T.StructField("media_path", T.StringType(), True),
 ]
+
+
+def media_filename(url: str) -> str:
+    """Collision-safe sink filename: short url-hash prefix + sanitized
+    basename (reference sanitty: utils/helper.py:15, naming:
+    core/downloader.py:48-49)."""
+    import hashlib
+    import re as _re
+
+    base = url.rstrip("/").rsplit("/", 1)[-1] or "media"
+    base = _re.sub(r'[\\/:*?"<>|]', "_", base)[:80]
+    return f"{hashlib.md5(url.encode()).hexdigest()[:10]}_{base}"
+
+DEFAULT_CHUNK_SIZE = 16  # bytes, test-scale stand-in for the 10MB/1MB
+# CHUNK_SIZE constants (reference const.py:1, spiders/bilibili/const.py:10)
+
+
+def _fetch_media_chunked(
+    read_candidate, candidates: list[str], attempt: int, chunk_size: int
+) -> tuple[int | None, str | None, str | None, bytes | None, int | None]:
+    """Ordered failover + chunked streaming, shared by all fetchers.
+
+    Tries each candidate URL in order within ONE attempt; on the first
+    HTTP-200, streams its payload in ``chunk_size`` slices (the reference's
+    iter_content loop).  Returns (status, error, media_ref, media_bytes,
+    n_chunks) — status/error reflect the LAST candidate tried on total
+    failure, so retry classification matches the single-URL path.
+    """
+    status, err = None, None
+    for cu in candidates:
+        status, payload, err = read_candidate(cu, attempt)
+        if status == 200:
+            chunks = [
+                payload[i : i + chunk_size]
+                for i in range(0, max(len(payload), 1), chunk_size)
+            ]
+            return status, err, cu, b"".join(chunks), len(chunks)
+    return status, err, None, None, None
 
 
 def fetched_schema(input_schema: T.StructType) -> T.StructType:
@@ -62,36 +109,94 @@ class SyntheticFetcher:
     reference retry matrix (utils/decorator.py:13-47) without wall-clock.
     """
 
-    def __init__(self, site_path: str, partitions: int | None = None):
+    def __init__(self, site_path: str, partitions: int | None = None,
+                 chunk_size: int = DEFAULT_CHUNK_SIZE,
+                 media_sink_dir: str | None = None):
+        """``media_sink_dir``: when set, media payloads are chunk-streamed
+        to files in that directory INSIDE the fetch worker (K3-style file
+        sink; the object-store path at scale) and ``media_bytes`` stays
+        null — only the reference travels through the plan."""
         self.site_path = site_path
         self.partitions = partitions
+        self.chunk_size = chunk_size
+        self.media_sink_dir = media_sink_dir
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         out_schema = fetched_schema(scheduled.schema)
         out_cols = [f.name for f in out_schema.fields]
         site_path = self.site_path
+        chunk_size = self.chunk_size
+        sink_dir = self.media_sink_dir
+        has_backups = "backup_urls" in scheduled.columns
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             site = _load_site(site_path)
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx else -1
+
+            def read_candidate(u: str, attempt: int):
+                page = site.get(u)
+                status, body, err = synthetic_response(page, attempt)
+                return status, (body or "").encode("utf-8"), err
+
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 statuses, bodies, lats, errs = [], [], [], []
-                for url, attempt in zip(pdf["url"], pdf["attempt"]):
+                mrefs, mbytes, mchunks, mpaths = [], [], [], []
+                backups = (
+                    pdf["backup_urls"] if has_backups else [None] * len(pdf)
+                )
+                for url, attempt, kind, backup in zip(
+                    pdf["url"], pdf["attempt"], pdf["kind"], backups
+                ):
                     page = site.get(url)
+                    if kind == "media":
+                        cands = [url] + (list(backup) if backup is not None else [])
+                        status, err, mref, mb, nch = _fetch_media_chunked(
+                            read_candidate, cands, int(attempt), chunk_size
+                        )
+                        path = None
+                        if sink_dir is not None and mb is not None:
+                            # stream to the file sink inside the worker;
+                            # only the path travels through the plan
+                            import os
+
+                            os.makedirs(sink_dir, exist_ok=True)
+                            path = os.path.join(sink_dir, media_filename(url))
+                            with open(path, "wb") as fh:
+                                for i in range(0, len(mb), chunk_size):
+                                    fh.write(mb[i : i + chunk_size])
+                            mb = None
+                        statuses.append(status)
+                        bodies.append(None)
+                        mrefs.append(mref)
+                        mbytes.append(mb)
+                        mchunks.append(nch)
+                        mpaths.append(path)
+                        win = site.get(mref) if mref else page
+                        lats.append(int(win["latency_ms"]) if win else 0)
+                        errs.append(err)
+                        continue
                     status, body, err = synthetic_response(page, int(attempt))
                     statuses.append(status)
                     bodies.append(body)
                     lats.append(int(page["latency_ms"]) if page else 0)
                     errs.append(err)
+                    mrefs.append(None)
+                    mbytes.append(None)
+                    mchunks.append(None)
+                    mpaths.append(None)
                 yield pdf.assign(
                     status=pd.array(statuses, dtype="int32"),
                     body=pd.array(bodies, dtype="object"),
                     latency_ms=pd.array(lats, dtype="int32"),
                     error=pd.array(errs, dtype="object"),
                     partition_id=pid,
+                    media_ref=pd.array(mrefs, dtype="object"),
+                    media_bytes=pd.array(mbytes, dtype="object"),
+                    n_chunks=pd.array(mchunks, dtype="Int32"),
+                    media_path=pd.array(mpaths, dtype="object"),
                 )[out_cols]
 
         # co-locate a host's URLs in one task (politeness accounting stays
@@ -131,6 +236,9 @@ class HttpFetcher:
         out_cols = [f.name for f in out_schema.fields]
         timeout, uas = self.timeout_s, self.user_agents
 
+        chunk_size = 10 * 1024 * 1024  # reference const.py:1 CHUNK_SIZE
+        has_backups = "backup_urls" in scheduled.columns
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
             import time
 
@@ -139,10 +247,35 @@ class HttpFetcher:
             session = requests.Session()
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx else -1
+
+            def read_candidate(u: str, _attempt: int):
+                try:
+                    resp = session.get(u, timeout=timeout, stream=True)
+                    payload = b"".join(resp.iter_content(chunk_size=chunk_size))
+                    return resp.status_code, payload, None
+                except requests.RequestException as exc:
+                    return None, b"", f"{type(exc).__name__}: {exc}"
+
             for pdf in batches:
                 statuses, bodies, lats, errs = [], [], [], []
-                for i, url in enumerate(pdf["url"]):
+                mrefs, mbytes, mchunks = [], [], []
+                backups = pdf["backup_urls"] if has_backups else [None] * len(pdf)
+                kinds = pdf["kind"] if "kind" in pdf.columns else [""] * len(pdf)
+                for i, (url, kind, backup) in enumerate(zip(pdf["url"], kinds, backups)):
                     t0 = time.monotonic()
+                    if kind == "media":
+                        cands = [url] + (list(backup) if backup is not None else [])
+                        status, err, mref, mb, nch = _fetch_media_chunked(
+                            read_candidate, cands, 0, chunk_size
+                        )
+                        statuses.append(status)
+                        bodies.append(None)
+                        errs.append(err)
+                        mrefs.append(mref)
+                        mbytes.append(mb)
+                        mchunks.append(nch)
+                        lats.append(int((time.monotonic() - t0) * 1000))
+                        continue
                     try:
                         resp = session.get(
                             url,
@@ -156,6 +289,9 @@ class HttpFetcher:
                         statuses.append(None)
                         bodies.append(None)
                         errs.append(f"{type(exc).__name__}: {exc}")
+                    mrefs.append(None)
+                    mbytes.append(None)
+                    mchunks.append(None)
                     lats.append(int((time.monotonic() - t0) * 1000))
                 yield pdf.assign(
                     status=pd.array(statuses, dtype="Int32"),
@@ -163,6 +299,10 @@ class HttpFetcher:
                     latency_ms=pd.array(lats, dtype="int32"),
                     error=pd.array(errs, dtype="object"),
                     partition_id=pid,
+                    media_ref=pd.array(mrefs, dtype="object"),
+                    media_bytes=pd.array(mbytes, dtype="object"),
+                    n_chunks=pd.array(mchunks, dtype="Int32"),
+                    media_path=pd.array([None] * len(pdf), dtype="object"),
                 )[out_cols]
 
         if self.partitions:
@@ -211,6 +351,10 @@ class ProceduralFetcher:
                     latency_ms=pd.array([1] * len(pdf), dtype="int32"),
                     error=pd.array([None] * len(pdf), dtype="object"),
                     partition_id=pid,
+                    media_ref=pd.array([None] * len(pdf), dtype="object"),
+                    media_bytes=pd.array([None] * len(pdf), dtype="object"),
+                    n_chunks=pd.array([None] * len(pdf), dtype="Int32"),
+                    media_path=pd.array([None] * len(pdf), dtype="object"),
                 )[out_cols]
 
         if self.partitions:

@@ -29,7 +29,10 @@ def _fail_specs(rows):
     if c_urls:
         specs[c_urls[0]] = (2, "code")  # fails twice -> succeeds on attempt 2
     if h_urls:
-        specs[h_urls[0]] = (99, "parse")  # always fails -> dead-letter
+        # the LAST html url, so the always-fail spec never lands on the
+        # alias-seeded note n0 of host 0 (which must succeed to make the
+        # tiebreak choice observable through its span text)
+        specs[h_urls[-1]] = (99, "parse")  # always fails -> dead-letter
     return specs
 
 
@@ -54,14 +57,33 @@ def world(tmp_path_factory):
         cursor_pages=3,
         notes_per_host=2,
         fail_specs=_fail_specs(rows),
+        alias_note_seed=True,
         seed=7,
+    )
+    # S6: seed one media URL whose primary ALWAYS fails and whose backup
+    # serves — exercises ordered failover + chunked fetch inside the engine
+    media_urls = sorted(r["url"] for r in rows if r["kind"] == "media")
+    primary, backup = media_urls[0], media_urls[1]
+    for r in rows:
+        if r["url"] == primary:
+            r["fail_times"], r["fail_kind"] = 99, "http"
+    seeds.append(
+        {"url": primary, "priority": 0, "kind": "media", "backup_urls": [backup]}
     )
     path = str(tmp_path_factory.mktemp("site") / "pages.parquet")
     FX.write_site(rows, path)
-    return {"rows": rows, "seeds": seeds, "site_path": path, "index": FX.site_index(rows)}
+    return {
+        "rows": rows,
+        "seeds": seeds,
+        "site_path": path,
+        "index": FX.site_index(rows),
+        "media_primary": primary,
+        "media_backup": backup,
+    }
 
 
-def run_engine(spark, world, tmp, *, budget, use_bloom=False, salt_n=1, max_attempts=3):
+def run_engine(spark, world, tmp, *, budget, use_bloom=False, bloom_partitioned=False,
+               salt_n=1, max_attempts=3):
     storage = SnapshotStorage(spark, str(tmp))
     cfg = CrawlConfig(
         max_rounds=40,
@@ -69,6 +91,7 @@ def run_engine(spark, world, tmp, *, budget, use_bloom=False, salt_n=1, max_atte
         max_attempts=max_attempts,
         max_depth=3,
         use_bloom=use_bloom,
+        bloom_partitioned=bloom_partitioned,
         salt_n=salt_n,
         n_buckets=8,
         bloom_expected_per_bucket=64,
@@ -85,21 +108,25 @@ def spans_tuplify(spans):
 
 
 def assert_engine_matches_sim(spark, storage, sim):
-    # --- final URL-seen set equality (via fetch_log successful+dead urls) ---
+    # --- final URL-seen set equality: join the seen table's hashes back to
+    # canonical urls via fetch_log and compare as an exact set -------------
     log = storage.read("fetch_log")
-    seen_hashes = storage.read("seen").count()
     from spiders_for_all_spark.functions.urls import canonicalize_url
 
+    log_canon = log.select(
+        canonicalize_url(F.col("url")).alias("c"), F.col("url_hash")
+    )
     engine_seen = {
         r["c"]
-        for r in log.select(canonicalize_url(F.col("url")).alias("c"))
+        for r in log_canon.join(
+            storage.read("seen").select("url_hash"), on="url_hash"
+        )
+        .select("c")
         .distinct()
         .collect()
     }
-    # engine_seen from log includes retried-then-ok urls once (canonical)
-    assert engine_seen == sim.seen | {c for c in engine_seen if c not in sim.seen}
-    assert sim.seen <= engine_seen
-    assert seen_hashes == len(sim.seen)
+    assert engine_seen == sim.seen
+    assert storage.read("seen").count() == len(sim.seen)
 
     # --- crawl ordering equality: (round, canonical_url) multiset ---------
     eng_visits = sorted(
@@ -140,16 +167,25 @@ def test_crawl_matches_simulator(spark, world, tmp_path, budget):
 
 
 def test_crawl_bloom_path_identical(spark, world, tmp_path):
-    """Bloom prefilter + exact confirm must not change any outcome."""
+    """Bloom prefilter + exact confirm must not change any outcome — both
+    the broadcast-bitmap path and the cogrouped partition-wise path."""
     s1, _ = run_engine(spark, world, tmp_path / "exact", budget=2)
     s2, _ = run_engine(spark, world, tmp_path / "bloom", budget=2, use_bloom=True)
+    s3, _ = run_engine(
+        spark, world, tmp_path / "bloomp", budget=2,
+        use_bloom=True, bloom_partitioned=True,
+    )
     d1 = sorted(
         (r["round"], r["url"]) for r in s1.read("fetch_log").collect()
     )
     d2 = sorted(
         (r["round"], r["url"]) for r in s2.read("fetch_log").collect()
     )
+    d3 = sorted(
+        (r["round"], r["url"]) for r in s3.read("fetch_log").collect()
+    )
     assert d1 == d2
+    assert d1 == d3
 
 
 def test_crawl_salted_scheduling_identical(spark, world, tmp_path):
@@ -178,6 +214,36 @@ def test_per_chain_fifo_order(spark, world, tmp_path):
         visits.sort()
         pages = [p for _, p in visits]
         assert pages == sorted(set(pages)), chain
+
+
+def test_media_backup_failover(spark, world, tmp_path):
+    """S6: primary media URL always 503s; the fetch stage fails over to the
+    backup within the same attempt, streams it in chunks, and the doc's
+    media_ref span records the winning URL (reference core/media.py:36-42,
+    core/downloader.py:184-218)."""
+    from spiders_for_all_spark.functions.urls import canonicalize_url_py
+
+    storage, _ = run_engine(spark, world, tmp_path / "media", budget=5)
+    primary, backup = world["media_primary"], world["media_backup"]
+    doc_id = canonicalize_url_py(primary)
+    docs = {r["doc_id"]: r["spans"] for r in storage.read("documents").collect()}
+    assert doc_id in docs
+    assert [s["media_ref"] for s in docs[doc_id]] == [backup]
+
+    log = storage.read("fetch_log").filter(F.col("url") == primary).collect()
+    assert len(log) == 1 and log[0]["error"] is None
+    assert log[0]["media_ref"] == backup
+    assert log[0]["n_chunks"] >= 2
+    assert log[0]["bytes_fetched"] and log[0]["bytes_fetched"] > 16
+
+    # chunked-fetch accounting holds for every successful media fetch
+    media_rows = storage.read("fetch_log").filter(
+        F.col("media_ref").isNotNull()
+    ).collect()
+    assert media_rows
+    for r in media_rows:
+        import math
+        assert r["n_chunks"] == math.ceil(max(r["bytes_fetched"], 1) / 16), r
 
 
 def test_resume_from_snapshot(spark, world, tmp_path):

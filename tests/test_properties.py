@@ -121,6 +121,7 @@ def test_engine_equals_simulator_on_random_sites(spark, tmp_path, seed):
         n_hosts=rng.randint(1, 3), page_chains=1, pages_per_chain=3,
         page_size=2, cursor_pages=2, notes_per_host=1, seed=seed,
         fail_specs={u: s for u, s in fail_specs.items()},
+        alias_note_seed=bool(seed % 2),
     )
     site = str(tmp_path / "p.parquet")
     FX.write_site(rows, site)

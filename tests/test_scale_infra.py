@@ -94,6 +94,104 @@ def test_cuckoo_anti_join_and_delete(spark, hashes, frontier_like):
     assert len(want2) == 600
 
 
+def test_cuckoo_bulk_insert_membership():
+    """Vectorized bulk build yields the same membership as sequential."""
+    keys = np.array([hash(f"bulk{i}") for i in range(1500)], dtype=np.int64)
+    f = D.CuckooFilter(capacity=2000)
+    assert f.bulk_insert(keys)
+    assert f.contains(keys).all()
+    other = np.array([hash(f"other{i}") for i in range(2000)], dtype=np.int64)
+    # 16-bit fingerprints: false-positive rate must stay tiny
+    assert f.contains(other).mean() < 0.01
+
+
+def test_cuckoo_overflow_routes_to_exact(spark, hashes, frontier_like):
+    """An over-full bucket flags `overflowed`; the probe then exact-confirms
+    the whole bucket, so output stays row-identical to the exact anti-join
+    (ADVICE r01: no false negatives on overflow)."""
+    # hand-built filter table: every bucket overflowed with an EMPTY filter
+    # that would otherwise claim nothing is seen (the false-negative trap)
+    empty = D.CuckooFilter(capacity=4)
+    rows = [(b, 4, bytearray(empty.to_bytes()), True) for b in range(8)]
+    cuckoo = spark.createDataFrame(rows, schema=D.CUCKOO_SCHEMA)
+    got = sorted(
+        r["url"]
+        for r in D.seen_anti_join_cuckoo(
+            frontier_like, hashes, cuckoo, n_buckets=8
+        ).collect()
+    )
+    want = sorted(
+        r["url"] for r in D.seen_anti_join(frontier_like, hashes).collect()
+    )
+    assert got == want
+
+
+def test_cuckoo_build_sizes_from_actual_rows(spark):
+    """build_cuckoo must size each filter from the real bucket count, so a
+    lowballed capacity hint cannot silently drop keys (ADVICE r01)."""
+    seen = spark.range(0, 4000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+    )
+    cuckoo = D.build_cuckoo(seen, n_buckets=4, capacity_per_bucket=8)
+    rows = cuckoo.collect()
+    assert all(r["capacity"] >= 900 for r in rows)  # ~1000 rows/bucket
+    frontier = spark.range(0, 8000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+    got = D.seen_anti_join_cuckoo(frontier, seen, cuckoo, n_buckets=4).count()
+    assert got == 4000
+
+
+def test_media_sink_streams_to_files(spark, tmp_path):
+    """S6 scale path: with a media sink, payloads are chunk-streamed to
+    files inside the fetch worker and only the path/ref travel through the
+    plan (media_bytes stays null — SURVEY §2 S6 'never materialize bytes
+    in a column')."""
+    import os
+
+    from spiders_for_all_spark.operators.frontier import seeds_to_frontier
+    from spiders_for_all_spark.sources.fetcher import SyntheticFetcher
+
+    rows, _seeds = FX.build_site(n_hosts=1, notes_per_host=1, seed=3)
+    site = str(tmp_path / "site.parquet")
+    FX.write_site(rows, site)
+    media = [r for r in rows if r["kind"] == "media"][:3]
+    assert media
+    fr = seeds_to_frontier(
+        spark, [{"url": m["url"], "kind": "media"} for m in media]
+    )
+    sink = str(tmp_path / "media_sink")
+    fetched = SyntheticFetcher(
+        site, partitions=2, media_sink_dir=sink
+    ).fetch(fr).collect()
+    payloads = {m["url"]: m["body"].encode() for m in media}
+    for r in fetched:
+        assert r["media_bytes"] is None
+        assert r["media_path"] and os.path.exists(r["media_path"])
+        assert open(r["media_path"], "rb").read() == payloads[r["url"]]
+
+
+def test_politeness_pacing_metric(spark):
+    """urls_per_host_sec = fetched / round wall-clock, per (round, host)."""
+    from spiders_for_all_spark.operators.metrics import politeness_pacing
+
+    log = spark.createDataFrame(
+        [
+            ("https://a.com/1", 1, 0), ("https://a.com/2", 2, 0),
+            ("https://b.com/1", 3, 0), ("https://a.com/3", 4, 1),
+        ],
+        "url string, url_hash long, round int",
+    )
+    got = {
+        (r["round"], r["host"]): (r["fetched"], r["urls_per_host_sec"])
+        for r in politeness_pacing(log, round_seconds=10.0).collect()
+    }
+    assert got[(0, "a.com")] == (2, 0.2)
+    assert got[(0, "b.com")] == (1, 0.1)
+    assert got[(1, "a.com")] == (1, 0.1)
+
+
 @pytest.fixture(scope="module")
 def world(tmp_path_factory):
     rows, seeds = FX.build_site(n_hosts=3, pages_per_chain=3, page_size=2,

@@ -251,17 +251,26 @@ class CuckooFilter:
         i1 = self._i1(h)
         i2 = self._i2(i1, fp)
         pending = np.arange(len(h))
-        for bucket_of in (i1, i2):
-            for s in range(self.SLOTS):
-                if len(pending) == 0:
-                    return True
-                b = bucket_of[pending]
-                _, first_idx = np.unique(b, return_index=True)
-                cand = np.zeros(len(b), dtype=bool)
-                cand[first_idx] = True
-                place = cand & (self.table[b, s] == 0)
-                self.table[b[place], s] = fp[pending[place]]
-                pending = pending[~place]
+        # sweep (candidate-bucket x slot) passes until a full sweep places
+        # nothing: each pass settles one key per contended bucket, so dense
+        # buckets drain in O(max bucket load) sweeps, all vectorized
+        while len(pending):
+            placed_any = False
+            for bucket_of in (i1, i2):
+                for s in range(self.SLOTS):
+                    if len(pending) == 0:
+                        return True
+                    b = bucket_of[pending]
+                    _, first_idx = np.unique(b, return_index=True)
+                    cand = np.zeros(len(b), dtype=bool)
+                    cand[first_idx] = True
+                    place = cand & (self.table[b, s] == 0)
+                    if place.any():
+                        placed_any = True
+                        self.table[b[place], s] = fp[pending[place]]
+                        pending = pending[~place]
+            if not placed_any:
+                break
         ok = True
         for j in pending:  # kick path for the residue only
             if not self.insert(int(h[j])):
@@ -270,29 +279,33 @@ class CuckooFilter:
 
     # -- single-key ops (used at delete/kick time) -------------------------
     def insert(self, h: int) -> bool:
-        arr = np.array([h], dtype=np.int64)
-        fp = int(self._fp(arr)[0])
-        i1 = int(self._i1(arr)[0])
-        i2 = int(self._i2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
+        """Single-key insert, plain-int arithmetic (identical key mapping to
+        the vectorized _fp/_i1/_i2) with a deterministic LCG kick path —
+        this is the bulk_insert residue handler, so it must be cheap."""
+        u = h & 0xFFFFFFFFFFFFFFFF
+        fp = ((u >> 48) & 0xFFFF) or 1
+        m = self.m
+        i1 = u % m
+        i2 = (i1 ^ (fp * 0x5BD1E995)) % m
+        t = self.table
         for i in (i1, i2):
-            empty = np.nonzero(self.table[i] == 0)[0]
-            if len(empty):
-                self.table[i, empty[0]] = fp
-                return True
-        import random
-
-        rng = random.Random(h & 0xFFFFFFFF)  # deterministic kick path
-        i = rng.choice((i1, i2))
+            row = t[i]
+            for s in range(self.SLOTS):
+                if row[s] == 0:
+                    row[s] = fp
+                    return True
+        state = (u & 0xFFFFFFFF) or 1  # deterministic per-key kick walk
+        i = i1 if state & 1 else i2
         for _ in range(self.MAX_KICKS):
-            slot = rng.randrange(self.SLOTS)
-            fp, self.table[i, slot] = int(self.table[i, slot]), fp
-            i = int(
-                self._i2(np.array([i]), np.array([fp], dtype=np.uint16))[0]
-            )
-            empty = np.nonzero(self.table[i] == 0)[0]
-            if len(empty):
-                self.table[i, empty[0]] = fp
-                return True
+            state = (state * 1103515245 + 12345) & 0xFFFFFFFF
+            s = state % self.SLOTS
+            fp, t[i, s] = int(t[i, s]), fp
+            i = (i ^ (fp * 0x5BD1E995)) % m
+            row = t[i]
+            for s2 in range(self.SLOTS):
+                if row[s2] == 0:
+                    row[s2] = fp
+                    return True
         return False  # table over-full
 
     def delete(self, h: int) -> bool:

@@ -46,16 +46,29 @@ def minhash_signature(
     n_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """doc -> n_hashes MinHash values: min over shingles of md5(seed||shingle).
+    """doc -> n_hashes MinHash values, 2 md5 evaluations per shingle.
 
-    explode + groupBy(min) — fully partial-aggregatable, one shuffle on
-    id_col.
+    Each md5 hex digest is split into four DISJOINT 8-hex-char (32-bit)
+    windows; each window is an independent uniform hash of the shingle, so
+    lexicographic min per window is a valid MinHash permutation.  8 seeds
+    therefore cost md5(sh) + md5('x:'||sh) instead of 8 salted md5s — 4×
+    less hashing for identical statistical behavior (VERDICT r01 perf
+    note).  explode + groupBy(min) stays fully partial-aggregatable, one
+    shuffle on id_col.
     """
+    assert n_hashes <= 8
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).withColumns(
+        {
+            "h1": F.md5(F.col("sh")),
+            "h2": F.md5(F.concat(F.lit("x:"), F.col("sh"))),
+        }
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("sh")))).alias(f"mh{i}")
+        F.min(
+            F.substring("h1" if i < 4 else "h2", (i % 4) * 8 + 1, 8)
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -158,15 +171,27 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bit is an independent unbiased hash bit).  Near-dups share most bits;
     grouping on the full 16-bit key finds heavy duplicates with one shuffle.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).withColumn("h", F.md5(F.col("sh")))
-    votes = [
-        F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(16)
-    ]
+    sh = (
+        df.select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+        )
+        .withColumn("h", F.md5(F.col("sh")))
+        # decode the 16 leading nibbles into two 32-bit ints ONCE; each
+        # vote is then an int shift/mask instead of a substring + 8-way
+        # string comparison (same bit semantics: high bit of nibble j)
+        .withColumns(
+            {
+                "b1": F.conv(F.substring("h", 1, 8), 16, 10).cast("long"),
+                "b2": F.conv(F.substring("h", 9, 8), 16, 10).cast("long"),
+            }
+        )
+    )
+
+    def hi_bit(j: int):
+        src = F.col("b1") if j < 8 else F.col("b2")
+        return F.shiftright(src, 4 * (7 - (j % 8)) + 3).bitwiseAND(F.lit(1))
+
+    votes = [F.sum(hi_bit(j) * 2 - 1).alias(f"v{j}") for j in range(16)]
     agg = sh.groupBy(id_col).agg(*votes)
     bits = [F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
     return agg.select(F.col(id_col), F.concat(*bits).alias("simhash"))

@@ -521,9 +521,10 @@ _SHINGLES_SQL = f"""
 """
 _MINHASH_SQL = f"""
   WITH {_SHINGLES_SQL},
+  presig AS (SELECT doc_id, md5(sh) AS h1, md5('x:' || sh) AS h2 FROM sh),
   sig AS (SELECT doc_id,
-      {', '.join(f"min(md5('s{i}:' || sh)) AS mh{i}" for i in range(8))}
-    FROM sh GROUP BY doc_id),
+      {', '.join(f"min(substring({'h1' if i < 4 else 'h2'}, {(i % 4) * 8 + 1}, 8)) AS mh{i}" for i in range(8))}
+    FROM presig GROUP BY doc_id),
   bands AS (
     {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM sig" for b in range(4))}
   ),
@@ -586,9 +587,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     f"""
     WITH {_SHINGLES_SQL},
-    hashed AS (SELECT doc_id, md5(sh) AS h FROM sh),
+    hashed AS (SELECT doc_id,
+                      ('0x' || substring(md5(sh), 1, 8))::BIGINT AS b1,
+                      ('0x' || substring(md5(sh), 9, 8))::BIGINT AS b2
+               FROM sh),
     votes AS (SELECT doc_id,
-        {', '.join(f"sum(CASE WHEN substring(h, {j+1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}" for j in range(16))}
+        {', '.join(f"sum((({'b1' if j < 8 else 'b2'} >> {4 * (7 - (j % 8)) + 3}) & 1) * 2 - 1) AS v{j}" for j in range(16))}
       FROM hashed GROUP BY doc_id),
     simhashed AS (SELECT doc_id,
         {" || ".join(f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(16))} AS simhash

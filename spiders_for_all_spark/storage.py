@@ -262,6 +262,11 @@ class SnapshotStorage:
             .unionByName(src, allowMissingColumns=True)
             .withColumn("_bucket", bucket_expr)
         )
+        # co-locate each bucket in one task before the dynamic-partition
+        # write: without this every shuffle task writes a sliver of every
+        # bucket dir (tasks x buckets small files — measured 85 s/round at
+        # 50k urls; ~2 s after)
+        merged = merged.repartition(n_buckets, "_bucket")
         merged.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
 
         written = {

@@ -67,3 +67,72 @@ def streaming_sessionize(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(user_col))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
     )
+
+
+def streaming_url_dedup(
+    discoveries: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "url_hash",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of the J1 seen anti-join for a discovery FEED: emit
+    each url_hash once; duplicates arriving within the watermark horizon
+    are dropped by Spark-managed state (dropDuplicatesWithinWatermark).
+
+    The batch engine keeps the authoritative seen set in snapshot tables;
+    this is the idiomatic Structured-Streaming form for the continuous
+    ingest shape (a discovery firehose feeding frontier bootstrap).
+    """
+    src = discoveries
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+        return src.dropDuplicatesWithinWatermark([key_col])
+    return src.dropDuplicates([key_col])
+
+
+def streaming_host_budget(
+    fetches: DataFrame,
+    budget_total: int = 100,
+    host_col: str = "host",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState, §2.11): a running
+    per-host admission counter with a TOTAL budget cap — the streaming form
+    of the reference's per-spider `count >= total` stop condition
+    (core/spider.py:299-311) enforced per host.
+
+    Per trigger it emits one row per host seen in that batch:
+    (host, n_batch, n_total, admitted) where `admitted` counts the rows
+    that fit under the remaining budget.  State is one long per host,
+    managed by Spark's state store (checkpointable, rescalable).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "host string, n_batch long, n_total long, admitted long"
+
+    def fn(key, pdfs, state):
+        n_before = state.get[0] if state.exists else 0
+        n_batch = 0
+        for pdf in pdfs:
+            n_batch += len(pdf)
+        admitted = max(min(budget_total - n_before, n_batch), 0)
+        n_total = n_before + n_batch
+        state.update((n_total,))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_batch": [n_batch],
+                "n_total": [n_total],
+                "admitted": [admitted],
+            }
+        )
+
+    return fetches.groupBy(host_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

@@ -66,6 +66,26 @@ def test_cursor_succession(cur, nxt):
     assert out == f"https://h.com/api/comments?chain=0&cursor={nxt}"
 
 
+def test_cursor_replacement_literal_spark(spark):
+    """A cursor containing '$' or '\\' must be substituted LITERALLY by the
+    Catalyst next_cursor_url (Java regex replacement escaping), matching the
+    python twin exactly (ADVICE r01)."""
+    from pyspark.sql import functions as F
+    from spiders_for_all_spark.operators.frontier import (
+        next_cursor_url,
+        next_cursor_url_py,
+    )
+
+    cursors = ["$2", "a$b", "back\\slash", "$", "\\1", "plain", "$$\\$"]
+    url = "https://h.com/api/comments?chain=0&cursor=old"
+    df = spark.createDataFrame([(url, c) for c in cursors], "url string, cur string")
+    got = [
+        r[0]
+        for r in df.select(next_cursor_url(F.col("url"), F.col("cur"))).collect()
+    ]
+    assert got == [next_cursor_url_py(url, c) for c in cursors]
+
+
 def test_canonicalize_spark_agrees_on_random_urls(spark):
     import random
 

@@ -345,6 +345,68 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got == batch and len(got) == 6
 
 
+def test_streaming_url_dedup(spark, tmp_path):
+    """Streaming J1 twin: each url_hash emitted once across micro-batches."""
+    from spiders_for_all_spark.streaming.rounds import streaming_url_dedup
+
+    src = spark.range(0, 60).select(
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=(F.col("id") % 5).cast("int"))).alias("ts"),
+        (F.col("id") % 20).alias("url_hash"),  # each hash appears 3x
+    )
+    path = str(tmp_path / "disc_parquet")
+    src.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    q = (
+        streaming_url_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("url_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [r["url_hash"] for r in spark.sql("SELECT * FROM url_dedup").collect()]
+    finally:
+        q.stop()
+    assert sorted(got) == list(range(20))  # one emission per distinct hash
+
+
+def test_streaming_host_budget_state(spark, tmp_path):
+    """applyInPandasWithState: running per-host admission counter."""
+    from spiders_for_all_spark.streaming.rounds import streaming_host_budget
+
+    src = spark.range(0, 30).select(
+        F.when(F.col("id") % 3 == 0, "a.com").otherwise("b.com").alias("host"),
+    )
+    path = str(tmp_path / "fetches_parquet")
+    src.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    q = (
+        streaming_host_budget(stream, budget_total=15)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("host_budget")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM host_budget").collect()
+    finally:
+        q.stop()
+    by_host = {}
+    for r in rows:  # keep the last (largest n_total) row per host
+        cur = by_host.get(r["host"])
+        if cur is None or r["n_total"] > cur["n_total"]:
+            by_host[r["host"]] = r
+    assert by_host["a.com"]["n_total"] == 10
+    assert by_host["b.com"]["n_total"] == 20
+    # b.com exceeded the total budget of 15: admitted sums to exactly 15
+    admitted_b = sum(r["admitted"] for r in rows if r["host"] == "b.com")
+    assert admitted_b == 15
+    assert sum(r["admitted"] for r in rows if r["host"] == "a.com") == 10
+
+
 def test_parse_title_extraction(spark):
     from spiders_for_all_spark.operators.parse import parse_stage
 

@@ -818,6 +818,100 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(d)
 
 
+@_register(
+    "media_meta_sniff",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS media_ref,
+           CAST(octet_length(encode(text)) +
+                (CASE WHEN doc_id % 4 IN (1, 2) THEN 4 ELSE 3 END) AS BIGINT)
+               AS n_bytes,
+           CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                           WHEN 2 THEN 'gif' ELSE 'mp4' END AS format,
+           CASE WHEN doc_id % 4 = 3 THEN 'video' ELSE 'image' END AS media_kind
+    FROM documents
+    """,
+)
+def media_meta_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's media_meta builder (multimodal.sniff_media_meta) over
+    deterministic magic-byte payloads: jpeg/png/gif/mp4 prefixes + the doc
+    text as body, sniffed in one Arrow pass (inline-bytes mode; the engine
+    round uses the same function in sink-file mode)."""
+    from spiders_for_all_spark.operators.multimodal import sniff_media_meta
+
+    d = _t(spark, sf_dir, "documents")
+    prefix = (
+        F.when(F.col("doc_id") % 4 == 0, "FFD8FF")       # jpeg magic
+        .when(F.col("doc_id") % 4 == 1, "89504E47")      # \x89PNG
+        .when(F.col("doc_id") % 4 == 2, "47494638")      # GIF8
+        .otherwise("000000")                             # mp4 stand-in
+    )
+    rows = d.select(
+        F.col("doc_id").cast("string").alias("media_ref"),
+        F.unhex(F.concat(prefix, F.hex(F.encode(F.col("text"), "utf-8")))).alias(
+            "payload"
+        ),
+    )
+    return sniff_media_meta(rows, bin_col="payload").select(
+        "media_ref", "n_bytes", "format", "media_kind"
+    )
+
+
+@_register(
+    "k2_merge_on_read",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'v1:' || text ELSE text END AS text,
+           '2026-01-01 00:00:00' AS created,
+           CASE WHEN doc_id % 3 = 0 THEN '2026-02-02 00:00:00'
+                ELSE '2026-01-01 00:00:00' END AS updated
+    FROM documents
+    """,
+)
+def k2_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 via the REAL storage layer, merge-on-read strategy: two MoR
+    commits into a scratch warehouse, then read() — the oracle checks the
+    last-writer-wins + keep-create_at resolution end-to-end (VERDICT r02
+    item 1 correctness gate)."""
+    import tempfile
+
+    from spiders_for_all_spark.storage import SnapshotStorage
+
+    def version(df: DataFrame, text_col, stamp: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    text_col.alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+            F.lit(stamp).cast("timestamp").alias("create_at"),
+            F.lit(stamp).cast("timestamp").alias("update_at"),
+        )
+
+    d = _t(spark, sf_dir, "documents")
+    v0 = version(d, F.col("text"), "2026-01-01 00:00:00")
+    v1 = version(
+        d.filter(F.col("doc_id") % 3 == 0),
+        F.concat(F.lit("v1:"), F.col("text")),
+        "2026-02-02 00:00:00",
+    )
+    st = SnapshotStorage(spark, tempfile.mkdtemp(prefix="sfas_mor_"))
+    for v in (v0, v1):
+        st.merge_upsert(
+            "documents", v, key="doc_id", keep_on_match=["create_at"],
+            strategy="mor",
+        )
+    return st.read("documents").select(
+        "doc_id",
+        F.col("spans")[0]["text"].alias("text"),
+        F.date_format("create_at", "yyyy-MM-dd HH:mm:ss").alias("created"),
+        F.date_format("update_at", "yyyy-MM-dd HH:mm:ss").alias("updated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # crawl end-to-end (non-SQL-expressible: iterative engine; rows-only check)
 
@@ -855,9 +949,60 @@ QUERIES["crawl_e2e_spans"] = crawl_e2e_spans
 
 
 # ---------------------------------------------------------------------------
-# flagship: enriched + dedup-annotated corpus (entry(); rows-only)
+# flagship: enriched + dedup-annotated corpus (entry()) — full DuckDB oracle
+# composed from the per-operator fragments above, so the driver's
+# CORRECTNESS gate covers the flagship pipeline itself (VERDICT r02 item 4)
 
 
+def _flagship_sql() -> str:
+    from spiders_for_all_spark.functions.text import LANG_PROFILES
+
+    langs_desc = sorted(LANG_PROFILES, reverse=True)
+    scores_sql = ", ".join(
+        f"len(list_filter({_WORDS_SQL}, x -> x IN "
+        f"({', '.join(repr(w) for w in prof)}))) AS s_{lang}"
+        for lang, prof in LANG_PROFILES.items()
+    )
+    ladder = " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{lang} >= s_{o}" for o in langs_desc if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs_desc
+    )
+    return f"""
+    {_MINHASH_SQL},
+    qual AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             md5({_NORM_SQL}) AS fp,
+             len({_WORDS_SQL}) AS n_tok,
+             round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                   / greatest(length(text), 1), 6) AS punct,
+             len(list_distinct({_WORDS_SQL})) AS n_distinct,
+             {scores_sql}
+      FROM documents),
+    enriched AS (
+      SELECT doc_id, fp,
+             (CASE {ladder} END) AS lang_guess,
+             round((least(n_tok / 50.0, 1.0) + (1 - punct)
+                    + n_distinct / greatest(n_tok, 1)) / 3.0, 6) AS quality,
+             n_tok
+      FROM qual),
+    dup AS (SELECT fp, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+            FROM enriched GROUP BY fp),
+    near AS (SELECT doc_id, count(*) AS n_near_dup_cands FROM (
+               SELECT a AS doc_id FROM pairs UNION ALL SELECT b AS doc_id FROM pairs) u
+             GROUP BY doc_id)
+    SELECT e.doc_id, e.fp, e.lang_guess, e.quality, e.n_tok,
+           d.n_copies, d.rep_doc_id,
+           coalesce(n.n_near_dup_cands, 0) AS n_near_dup_cands,
+           e.doc_id <> d.rep_doc_id AS is_exact_dup
+    FROM enriched e
+    JOIN dup d ON d.fp = e.fp
+    LEFT JOIN near n ON n.doc_id = e.doc_id
+    """
+
+
+@_register("flagship_enriched_corpus", _flagship_sql())
 def flagship_enriched_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     t = F.col("text")
@@ -884,9 +1029,6 @@ def flagship_enriched_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"n_near_dup_cands": 0})
         .withColumn("is_exact_dup", F.col("doc_id") != F.col("rep_doc_id"))
     )
-
-
-QUERIES["flagship_enriched_corpus"] = flagship_enriched_corpus
 
 
 # ===========================================================================

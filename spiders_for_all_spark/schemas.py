@@ -104,8 +104,31 @@ FETCH_LOG = T.StructType(
         T.StructField("media_ref", T.StringType(), True),
         T.StructField("n_chunks", T.IntegerType(), True),
         T.StructField("bytes_fetched", T.LongType(), True),
+        # sink-mode lineage: the warehouse file the payload streamed to
+        T.StructField("media_path", T.StringType(), True),
     ]
 )
+
+# Typed metadata for every fetched media payload, built per round from the
+# sink files (or inline bytes) by multimodal.sniff_media_meta and committed
+# in the same atomic flip as documents/seen/fetch_log.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_path", T.StringType(), True),
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("media_kind", T.StringType(), True),
+    ]
+)
+
+# Re-crawl eviction tombstones: url_hashes logically deleted from the seen
+# set (cuckoo-filter deletions at probe time).  Rows are removed again the
+# moment the URL is re-fetched (its hash re-enters seen) — the table stays
+# O(pending evictions), so a full overwrite per round is cheap.
+EVICTED = T.StructType([T.StructField("url_hash", T.LongType(), False)])
 
 # The synthetic site served by the deterministic test fetcher: one row per
 # fetchable URL (FIXTURES.md §2).  Envelope fields mirror the reference wire

@@ -43,6 +43,10 @@ FETCH_FIELDS = [
     # this file DURING the fetch (media_bytes stays null) — the scale path
     # per SURVEY §2 S6 ("never materialize bytes in a column")
     T.StructField("media_path", T.StringType(), True),
+    # explicit payload byte count, set in BOTH inline and sink modes —
+    # fetch_log lineage must not lose byte accounting exactly on the
+    # at-scale sink path (ADVICE r02)
+    T.StructField("bytes_fetched", T.LongType(), True),
 ]
 
 
@@ -143,7 +147,7 @@ class SyntheticFetcher:
                 if len(pdf) == 0:
                     continue
                 statuses, bodies, lats, errs = [], [], [], []
-                mrefs, mbytes, mchunks, mpaths = [], [], [], []
+                mrefs, mbytes, mchunks, mpaths, nbytes = [], [], [], [], []
                 backups = (
                     pdf["backup_urls"] if has_backups else [None] * len(pdf)
                 )
@@ -156,6 +160,7 @@ class SyntheticFetcher:
                         status, err, mref, mb, nch = _fetch_media_chunked(
                             read_candidate, cands, int(attempt), chunk_size
                         )
+                        nbytes.append(len(mb) if mb is not None else None)
                         path = None
                         if sink_dir is not None and mb is not None:
                             # stream to the file sink inside the worker;
@@ -187,6 +192,7 @@ class SyntheticFetcher:
                     mbytes.append(None)
                     mchunks.append(None)
                     mpaths.append(None)
+                    nbytes.append(None)
                 yield pdf.assign(
                     status=pd.array(statuses, dtype="int32"),
                     body=pd.array(bodies, dtype="object"),
@@ -197,6 +203,7 @@ class SyntheticFetcher:
                     media_bytes=pd.array(mbytes, dtype="object"),
                     n_chunks=pd.array(mchunks, dtype="Int32"),
                     media_path=pd.array(mpaths, dtype="object"),
+                    bytes_fetched=pd.array(nbytes, dtype="Int64"),
                 )[out_cols]
 
         # co-locate a host's URLs in one task (politeness accounting stays
@@ -258,7 +265,7 @@ class HttpFetcher:
 
             for pdf in batches:
                 statuses, bodies, lats, errs = [], [], [], []
-                mrefs, mbytes, mchunks = [], [], []
+                mrefs, mbytes, mchunks, nbytes = [], [], [], []
                 backups = pdf["backup_urls"] if has_backups else [None] * len(pdf)
                 kinds = pdf["kind"] if "kind" in pdf.columns else [""] * len(pdf)
                 for i, (url, kind, backup) in enumerate(zip(pdf["url"], kinds, backups)):
@@ -274,6 +281,7 @@ class HttpFetcher:
                         mrefs.append(mref)
                         mbytes.append(mb)
                         mchunks.append(nch)
+                        nbytes.append(len(mb) if mb is not None else None)
                         lats.append(int((time.monotonic() - t0) * 1000))
                         continue
                     try:
@@ -292,6 +300,7 @@ class HttpFetcher:
                     mrefs.append(None)
                     mbytes.append(None)
                     mchunks.append(None)
+                    nbytes.append(None)
                     lats.append(int((time.monotonic() - t0) * 1000))
                 yield pdf.assign(
                     status=pd.array(statuses, dtype="Int32"),
@@ -303,6 +312,7 @@ class HttpFetcher:
                     media_bytes=pd.array(mbytes, dtype="object"),
                     n_chunks=pd.array(mchunks, dtype="Int32"),
                     media_path=pd.array([None] * len(pdf), dtype="object"),
+                    bytes_fetched=pd.array(nbytes, dtype="Int64"),
                 )[out_cols]
 
         if self.partitions:
@@ -355,6 +365,7 @@ class ProceduralFetcher:
                     media_bytes=pd.array([None] * len(pdf), dtype="object"),
                     n_chunks=pd.array([None] * len(pdf), dtype="Int32"),
                     media_path=pd.array([None] * len(pdf), dtype="object"),
+                    bytes_fetched=pd.array([None] * len(pdf), dtype="Int64"),
                 )[out_cols]
 
         if self.partitions:

@@ -11,9 +11,16 @@ shape a real Iceberg catalog has:
   * an **append** commit writes only the new rows and a manifest that is
     ``previous files + one new dir`` — O(new rows) I/O per commit, never a
     rewrite of history (Iceberg: fast append);
-  * a **merge** commit on a bucketed table rewrites only the buckets the
-    source rows touch (Iceberg: MERGE INTO with bucket(key) partition spec,
-    copy-on-write at file granularity);
+  * a **merge** commit on a bucketed table either rewrites only the buckets
+    the source rows touch (Iceberg: MERGE INTO with bucket(key) partition
+    spec, copy-on-write at file granularity) or — the default engine path —
+    appends a keyed **delta** dir and resolves last-writer-wins at read time
+    (Iceberg: merge-on-read with positional/equality deletes).  Merge-on-read
+    makes the commit O(this round's rows) regardless of table size: at 10^10
+    docs a copy-on-write round that touches all buckets is a full-table
+    rewrite (measured 17.5x round slowdown — VERDICT r02), while the MoR
+    round writes one delta dir and defers the merge to the periodic
+    compaction, which itself folds deltas into touched buckets only;
   * the current snapshot of *all* tables lives in one ``_CATALOG.json``
     flipped by a single ``os.replace`` — a multi-table round commit is
     therefore **atomic**: a crash mid-round leaves every table at the
@@ -51,6 +58,8 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "fetch_log": S.FETCH_LOG,
     "robots": S.ROBOTS,
     "host_budget": S.HOST_BUDGET,
+    "media_meta": S.MEDIA_META,
+    "evicted": S.EVICTED,
 }
 
 MERGE_BUCKETS = 64  # bucket(key) partition spec for merge tables
@@ -92,18 +101,47 @@ class SnapshotStorage:
         try:
             with open(self._catalog_path()) as fh:
                 return json.load(fh)
-        except (FileNotFoundError, json.JSONDecodeError):
+        except FileNotFoundError:
             return {}
+        except json.JSONDecodeError as exc:
+            # a torn/corrupt catalog must FAIL LOUDLY, not silently reset
+            # every table to empty and restart the crawl from scratch
+            # (the zero-loss-resume guarantee).  _write_catalog fsyncs
+            # before the atomic rename, so this only fires on external
+            # corruption — which an operator must see.
+            raise RuntimeError(
+                f"corrupt warehouse catalog {self._catalog_path()!r}: {exc}; "
+                "restore it from the newest readable snap-*.json manifests"
+            ) from exc
 
     def _write_catalog(self, catalog: dict[str, int]) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.warehouse)
         with os.fdopen(fd, "w") as fh:
             json.dump(catalog, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # durable before the atomic rename
         os.replace(tmp, self._catalog_path())
+        # fsync the directory so the rename itself survives power loss
+        dir_fd = os.open(self.warehouse, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
 
     # -- snapshot metadata ---------------------------------------------------
     def latest_snapshot(self, table: str) -> int | None:
-        return self._read_catalog().get(table)
+        snap = self._read_catalog().get(table)
+        if snap is None and os.path.exists(
+            os.path.join(self._table_dir(table), "_LATEST")
+        ):
+            # pre-round-2 layout (_LATEST pointer + snap dirs): reading it as
+            # empty would silently restart the crawl from scratch
+            raise RuntimeError(
+                f"table {table!r} uses the legacy _LATEST-pointer layout; "
+                "this build reads only _CATALOG.json warehouses — migrate by "
+                "re-committing the table or keep the old build for that data"
+            )
+        return snap
 
     def snapshots(self, table: str) -> list[int]:
         d = self._table_dir(table)
@@ -122,7 +160,9 @@ class SnapshotStorage:
     def _manifest_dirs(self, table: str, manifest: dict) -> list[str]:
         base = self._table_dir(table)
         if "buckets" in manifest:
-            rels = list(manifest["buckets"].values())
+            rels = list(manifest["buckets"].values()) + list(
+                manifest.get("deltas", [])
+            )
         else:
             rels = manifest["files"]
         return [os.path.join(base, r) for r in rels]
@@ -132,10 +172,69 @@ class SnapshotStorage:
         snap = self.latest_snapshot(table) if snapshot is None else snapshot
         if snap is None:
             return self.empty(table)
-        dirs = self._manifest_dirs(table, self._load_manifest(table, snap))
+        manifest = self._load_manifest(table, snap)
+        if manifest.get("deltas"):
+            return self._read_resolved(table, manifest)
+        dirs = self._manifest_dirs(table, manifest)
         if not dirs:
             return self.empty(table)
         return self.spark.read.schema(TABLE_SCHEMAS[table]).parquet(*dirs)
+
+    def _read_resolved(self, table: str, manifest: dict) -> DataFrame:
+        """Merge-on-read resolution: base buckets (seq 0) + ordered delta
+        dirs (seq 1..n); per key the HIGHEST-seq row wins, except
+        ``keep_on_match`` columns which keep their FIRST-seq value (the
+        WHEN MATCHED UPDATE SET * EXCEPT (...) twin of stage_merge).
+
+        One partial-aggregatable max_by/min_by shuffle over base+deltas —
+        no driver state; identical output to copy-on-write merging the
+        deltas in commit order (asserted by tests + the k2 MoR oracle).
+        """
+        schema = TABLE_SCHEMAS[table]
+        meta = manifest.get("merge", {})
+        keys = meta.get("key", [])
+        keep = meta.get("keep_on_match", []) or []
+        base = self._table_dir(table)
+        parts = []
+        bucket_dirs = [
+            os.path.join(base, r) for r in manifest.get("buckets", {}).values()
+        ]
+        if bucket_dirs:
+            parts.append(
+                self.spark.read.schema(schema)
+                .parquet(*bucket_dirs)
+                .withColumn("_seq", F.lit(0))
+            )
+        for i, rel in enumerate(manifest["deltas"]):
+            parts.append(
+                self.spark.read.schema(schema)
+                .parquet(os.path.join(base, rel))
+                .withColumn("_seq", F.lit(i + 1))
+            )
+        cols = [f.name for f in schema.fields]
+        return self._resolve_versions(parts, keys, keep, cols)
+
+    @staticmethod
+    def _resolve_versions(
+        parts: list[DataFrame], keys: list[str], keep: list[str], cols: list[str]
+    ) -> DataFrame:
+        """Last-writer-wins over version parts carrying a ``_seq`` column;
+        ``keep`` columns take their first-seq value instead.  One partial-
+        aggregatable shuffle on the merge key."""
+        allv = parts[0]
+        for p in parts[1:]:
+            allv = allv.unionByName(p)
+        latest = F.max_by(F.struct(*cols), F.col("_seq")).alias("_latest")
+        firsts = [F.min_by(F.col(c), F.col("_seq")).alias(f"_first_{c}") for c in keep]
+        resolved = allv.groupBy(*keys).agg(latest, *firsts)
+        return resolved.select(
+            *[
+                F.col(f"_first_{c}").alias(c)
+                if c in keep
+                else F.col(f"_latest.{c}").alias(c)
+                for c in cols
+            ]
+        )
 
     def empty(self, table: str) -> DataFrame:
         return self.spark.createDataFrame([], TABLE_SCHEMAS[table])
@@ -179,9 +278,19 @@ class SnapshotStorage:
         re-copies history).
         """
         prev = self.latest_snapshot(table)
-        prev_files = (
-            self._load_manifest(table, prev).get("files", []) if prev is not None else []
-        )
+        if prev is not None:
+            prev_manifest = self._load_manifest(table, prev)
+            if "buckets" in prev_manifest:
+                # appending to a merge-layout table would silently drop every
+                # bucketed row from the manifest view (ADVICE r02) — the two
+                # layouts must never be mixed on one table
+                raise ValueError(
+                    f"stage_append on merge-layout table {table!r}: use "
+                    "stage_merge (bucketed/MoR tables have no files manifest)"
+                )
+            prev_files = prev_manifest.get("files", [])
+        else:
+            prev_files = []
         snap = self._next_snap(table)
         df.write.mode("overwrite").parquet(self._data_dir(table, snap))
         files = prev_files + [self._data_dir(table, snap, rel=True)]
@@ -194,16 +303,25 @@ class SnapshotStorage:
         key: str | list[str],
         n_buckets: int = MERGE_BUCKETS,
         keep_on_match: list[str] | None = None,
+        strategy: str = "cow",
     ) -> Staged:
-        """MERGE INTO with bucket(key) copy-on-write: rewrite touched buckets only.
+        """MERGE INTO emulation; ``strategy`` picks the physical write.
 
-        The table is laid out as one parquet dir per ``pmod(xxhash64(key),
-        n_buckets)`` bucket.  Source rows are bucketed the same way; only the
-        buckets that receive source rows are read + rewritten — at 10^10 docs
-        a round that touches k buckets costs O(k/n_buckets of the table), not
-        a full copy (VERDICT r01 item 4/9).  Source must be key-unique
-        (caller dedups, matching the reference's unique-constraint
-        semantics — core/spider.py:218-236).
+        * ``"cow"`` — bucket(key) copy-on-write: only the buckets that
+          receive source rows are read + rewritten (Iceberg MERGE with
+          bucket partition spec).  O(touched share of the table) per
+          commit; right when rounds touch few buckets.
+        * ``"mor"`` — merge-on-read: the source rows are appended as ONE
+          keyed delta dir, nothing is read or rewritten; readers resolve
+          last-writer-wins (:meth:`_read_resolved`) and :meth:`compact`
+          folds deltas into the bucketed base periodically.  O(source
+          rows) per commit regardless of table size — the engine default
+          for ``documents``, where uniformly-hashed doc_ids otherwise
+          touch every bucket each round (a measured 17.5x full-table-
+          rewrite tax, VERDICT r02).
+
+        Source must be key-unique (caller dedups, matching the reference's
+        unique-constraint semantics — core/spider.py:218-236).
 
         ``keep_on_match``: columns whose TARGET value survives an update
         (``WHEN MATCHED THEN UPDATE SET * EXCEPT (...)``) — e.g. ``create_at``
@@ -211,12 +329,79 @@ class SnapshotStorage:
         (reference: database/schema.py:23-29 onupdate semantics).
         """
         keys = [key] if isinstance(key, str) else list(key)
-        bucket_expr = F.pmod(
-            F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
-        ).cast("int")
+        if strategy == "mor":
+            return self._stage_merge_mor(
+                table, source, keys, n_buckets, keep_on_match
+            )
+        if strategy != "cow":
+            raise ValueError(f"unknown merge strategy {strategy!r}")
 
         prev = self.latest_snapshot(table)
         prev_manifest = self._load_manifest(table, prev) if prev is not None else {}
+        if prev_manifest.get("deltas"):
+            raise ValueError(
+                f"cow merge on table {table!r} with unresolved MoR deltas: "
+                "compact() first (or keep using strategy='mor')"
+            )
+        if "buckets" in prev_manifest:
+            base_buckets: dict[str, str] | None = dict(prev_manifest["buckets"])
+            target_full = None
+        else:
+            # legacy / bootstrap layout: treat every file as touched once,
+            # converting the table to the bucketed layout in this commit
+            base_buckets = None
+            target_full = self.read(table, prev) if prev is not None else None
+        return self._stage_merge_cow(
+            table, source, keys, n_buckets, keep_on_match, base_buckets,
+            target_full, merge_meta=prev_manifest.get("merge"),
+        )
+
+    def _stage_merge_mor(
+        self,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+        n_buckets: int,
+        keep_on_match: list[str] | None,
+    ) -> Staged:
+        prev = self.latest_snapshot(table)
+        prev_manifest = self._load_manifest(table, prev) if prev is not None else {}
+        if "buckets" in prev_manifest:
+            base_buckets = dict(prev_manifest["buckets"])
+            deltas = list(prev_manifest.get("deltas", []))
+        else:
+            # files-layout history (e.g. the bootstrap empty overwrite):
+            # its dirs become the lowest-seq deltas — each commit was a
+            # key-unique full state, so in-order resolution is exact
+            base_buckets = {}
+            deltas = list(prev_manifest.get("files", []))
+        snap = self._next_snap(table)
+        source.write.mode("overwrite").parquet(self._data_dir(table, snap))
+        manifest = {
+            "buckets": base_buckets,
+            "deltas": deltas + [self._data_dir(table, snap, rel=True)],
+            "merge": {
+                "key": keys,
+                "keep_on_match": list(keep_on_match or []),
+                "n_buckets": n_buckets,
+            },
+        }
+        return self._stage_manifest(table, snap, manifest)
+
+    def _stage_merge_cow(
+        self,
+        table: str,
+        source: DataFrame,
+        keys: list[str],
+        n_buckets: int,
+        keep_on_match: list[str] | None,
+        base_buckets: dict[str, str] | None,
+        target_full: DataFrame | None = None,
+        merge_meta: dict | None = None,
+    ) -> Staged:
+        bucket_expr = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)
+        ).cast("int")
         base = self._table_dir(table)
         snap = self._next_snap(table)
         out_dir = self._data_dir(table, snap)
@@ -227,8 +412,8 @@ class SnapshotStorage:
             r["_bucket"] for r in source.select("_bucket").distinct().collect()
         )
 
-        if "buckets" in prev_manifest:
-            old_buckets: dict[str, str] = dict(prev_manifest["buckets"])
+        if base_buckets is not None:
+            old_buckets: dict[str, str] = base_buckets
             touched_dirs = [
                 os.path.join(base, old_buckets[str(b)])
                 for b in touched
@@ -240,11 +425,8 @@ class SnapshotStorage:
                 else self.empty(table)
             )
         else:
-            # legacy / bootstrap layout: treat every file as touched once,
-            # converting the table to the bucketed layout in this commit
             old_buckets = {}
-            target = self.read(table, prev) if prev is not None else self.empty(table)
-            touched = None  # rewrite everything
+            target = target_full if target_full is not None else self.empty(table)
 
         src = source.drop("_bucket")
         if keep_on_match:
@@ -276,7 +458,11 @@ class SnapshotStorage:
         }
         buckets = dict(old_buckets)
         buckets.update(written)
-        return self._stage_manifest(table, snap, {"buckets": buckets})
+        manifest: dict = {"buckets": buckets}
+        if merge_meta:
+            manifest["deltas"] = []
+            manifest["merge"] = merge_meta
+        return self._stage_manifest(table, snap, manifest)
 
     # -- commits ------------------------------------------------------------
     def commit_multi(self, staged: list[Staged]) -> None:
@@ -313,8 +499,11 @@ class SnapshotStorage:
         key: str | list[str],
         n_buckets: int = MERGE_BUCKETS,
         keep_on_match: list[str] | None = None,
+        strategy: str = "cow",
     ) -> int:
-        staged = self.stage_merge(table, source, key, n_buckets, keep_on_match)
+        staged = self.stage_merge(
+            table, source, key, n_buckets, keep_on_match, strategy
+        )
         self.commit_multi([staged])
         return staged.snap
 
@@ -323,16 +512,104 @@ class SnapshotStorage:
         return self.commit(table, df)
 
     # -- maintenance ----------------------------------------------------------
-    def compact(self, table: str, partition_by: list[str] | None = None) -> int:
-        """Rewrite the table as one data dir (Iceberg rewrite_data_files).
+    def _dir_bytes(self, d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
 
-        Append-only tables accumulate one dir per round; compaction folds
-        them back to a single columnar-friendly dir.  Run it every ~64
-        rounds (the engine does this automatically) so manifest length and
-        small-file count stay bounded on long crawls.
+    def compact(self, table: str, partition_by: list[str] | None = None) -> int:
+        """Incremental compaction (Iceberg rewrite_data_files, binpack).
+
+        * files-layout (append-only seen/fetch_log): size-tiered fold —
+          dirs much larger than everything below them are BASES and are
+          never rewritten; the small tail folds into one dir.  A dir is
+          only rewritten once the deltas beneath it have grown to ~half
+          its size, so total rewrite I/O over a crawl is O(N log N) —
+          never the old O(N) full-table rewrite per compaction, which at
+          10^10 seen rows is a multi-hour stop-the-world job (VERDICT
+          r02 item 2).
+        * MoR merge-layout (documents): folds the delta dirs into the
+          bucketed base copy-on-write style — only buckets the deltas
+          touch are rewritten; untouched buckets carry over by reference.
+
+        The engine runs this every ``compact_every`` rounds so manifest
+        length, small-file count and read-resolution cost all stay bounded
+        on long crawls.
         """
-        current = self.read(table)
-        return self.commit(table, current, partition_by)
+        snap = self.latest_snapshot(table)
+        if snap is None:
+            return -1
+        manifest = self._load_manifest(table, snap)
+        if "buckets" in manifest:
+            if not manifest.get("deltas"):
+                return snap  # pure bucketed table: nothing to fold
+            return self._compact_mor(table, manifest)
+
+        base = self._table_dir(table)
+        dirs = manifest["files"]
+        if len(dirs) <= 1:
+            return snap
+        sized = sorted(
+            ((self._dir_bytes(os.path.join(base, r)), r) for r in dirs),
+            reverse=True,
+        )
+        # keep every dir strictly bigger than 2x the sum of all smaller
+        # dirs (geometric bases); fold the rest into one new dir
+        keep: list[str] = []
+        i = 0
+        while i < len(sized) - 1:
+            smaller = sum(s for s, _ in sized[i + 1 :])
+            if sized[i][0] > 2 * smaller:
+                keep.append(sized[i][1])
+                i += 1
+            else:
+                break
+        fold = [r for _, r in sized[i:]]
+        if len(fold) <= 1:
+            return snap
+        folded = self.spark.read.schema(TABLE_SCHEMAS[table]).parquet(
+            *[os.path.join(base, r) for r in fold]
+        )
+        new_snap = self._next_snap(table)
+        writer = folded.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._data_dir(table, new_snap))
+        files = keep + [self._data_dir(table, new_snap, rel=True)]
+        staged = self._stage_manifest(table, new_snap, {"files": files})
+        self.commit_multi([staged])
+        return new_snap
+
+    def _compact_mor(self, table: str, manifest: dict) -> int:
+        """Fold MoR deltas into the bucketed base: resolve the deltas among
+        themselves (last-writer-wins within the delta chain), then run the
+        touched-buckets-only copy-on-write merge against the base."""
+        meta = manifest["merge"]
+        keys, keep = meta["key"], meta.get("keep_on_match", [])
+        schema = TABLE_SCHEMAS[table]
+        basedir = self._table_dir(table)
+        parts = [
+            self.spark.read.schema(schema)
+            .parquet(os.path.join(basedir, rel))
+            .withColumn("_seq", F.lit(i))
+            for i, rel in enumerate(manifest["deltas"])
+        ]
+        cols = [f.name for f in schema.fields]
+        resolved = self._resolve_versions(parts, keys, keep, cols)
+        staged = self._stage_merge_cow(
+            table,
+            resolved,
+            keys,
+            meta.get("n_buckets", MERGE_BUCKETS),
+            keep,
+            dict(manifest.get("buckets", {})),
+            merge_meta=meta,
+        )
+        self.commit_multi([staged])
+        return staged.snap
 
     def n_data_dirs(self, table: str) -> int:
         snap = self.latest_snapshot(table)
@@ -361,3 +638,44 @@ class SnapshotStorage:
                     shutil.rmtree(d)
                 dropped.append(snap)
         return dropped
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
+        """Expire history: keep the newest ``keep_last`` committed snapshots
+        (time-travel window), delete older manifests and any data dir no
+        kept manifest references (Iceberg expire_snapshots).
+
+        Without this, bucket dirs superseded by later merges and folded
+        append deltas are never reclaimed, so warehouse bytes grow without
+        bound on long crawls even though live data is constant (VERDICT r02
+        missing item 3).  Returns the expired snapshot ids.
+        """
+        import shutil
+
+        current = self.latest_snapshot(table)
+        if current is None:
+            return []
+        committed = [s for s in self.snapshots(table) if s <= current]
+        kept = set(committed[-max(keep_last, 1):])
+        if current not in kept:  # never expire the live snapshot
+            kept.add(current)
+        referenced: set[str] = set()
+        for snap in kept:
+            for rel in self._manifest_dirs(table, self._load_manifest(table, snap)):
+                # bucket rels look like data-000003/_bucket=5 — ownership is
+                # the top-level data dir
+                referenced.add(os.path.relpath(rel, self._table_dir(table)).split(os.sep)[0])
+        expired = []
+        for snap in committed:
+            if snap in kept:
+                continue
+            os.remove(self._manifest_path(table, snap))
+            expired.append(snap)
+        for snap in committed:
+            d = self._data_dir(table, snap)
+            if (
+                snap not in kept
+                and os.path.basename(d) not in referenced
+                and os.path.isdir(d)
+            ):
+                shutil.rmtree(d)
+        return expired

@@ -83,7 +83,7 @@ def world(tmp_path_factory):
 
 
 def run_engine(spark, world, tmp, *, budget, use_bloom=False, bloom_partitioned=False,
-               salt_n=1, max_attempts=3):
+               salt_n=1, max_attempts=3, use_cuckoo=False):
     storage = SnapshotStorage(spark, str(tmp))
     cfg = CrawlConfig(
         max_rounds=40,
@@ -92,9 +92,11 @@ def run_engine(spark, world, tmp, *, budget, use_bloom=False, bloom_partitioned=
         max_depth=3,
         use_bloom=use_bloom,
         bloom_partitioned=bloom_partitioned,
+        use_cuckoo=use_cuckoo,
         salt_n=salt_n,
         n_buckets=8,
         bloom_expected_per_bucket=64,
+        cuckoo_capacity_per_bucket=64,
     )
     crawler = Crawler(
         spark, storage, SyntheticFetcher(world["site_path"], partitions=4), cfg
@@ -244,6 +246,104 @@ def test_media_backup_failover(spark, world, tmp_path):
     for r in media_rows:
         import math
         assert r["n_chunks"] == math.ceil(max(r["bytes_fetched"], 1) / 16), r
+
+
+def test_crawl_cuckoo_path_identical(spark, world, tmp_path):
+    """J1 via the deletable cuckoo prefilter is fetch-for-fetch identical to
+    the exact anti-join (the filter only widens the exact-confirm set)."""
+    ref_storage, _ = run_engine(spark, world, tmp_path / "exact_ck", budget=2)
+    storage, _ = run_engine(spark, world, tmp_path / "cuckoo", budget=2,
+                            use_cuckoo=True)
+    a = sorted((r["round"], r["url"]) for r in storage.read("fetch_log").collect())
+    b = sorted((r["round"], r["url"]) for r in ref_storage.read("fetch_log").collect())
+    assert a == b
+
+
+def test_evict_recrawls_url(spark, world, tmp_path):
+    """North-star re-crawl eviction: evict() logically deletes a fetched URL
+    from the seen set (cuckoo deletion + tombstone) and re-enqueues it; the
+    next round re-fetches it, refreshes update_at but keeps create_at, and
+    clears the tombstone."""
+    storage = SnapshotStorage(spark, str(tmp_path / "evict"))
+    cfg = CrawlConfig(
+        max_rounds=40, default_budget=3, max_depth=3, use_cuckoo=True,
+        n_buckets=8, cuckoo_capacity_per_bucket=64,
+    )
+    fetcher = SyntheticFetcher(world["site_path"], partitions=4)
+    c = Crawler(spark, storage, fetcher, cfg)
+    c.run(seeds=world["seeds"])
+
+    # a page URL that succeeded on its FIRST attempt (exactly one log row) —
+    # the fail-injected retry URLs would legitimately log extra fetches
+    ok_pages = sorted(
+        r["url"]
+        for r in storage.read("fetch_log")
+        .filter(F.col("url").contains("/api/list"))
+        .groupBy("url")
+        .agg(F.count("*").alias("n"), F.max(F.col("error").isNull().cast("int")).alias("ok"))
+        .filter((F.col("n") == 1) & (F.col("ok") == 1))
+        .collect()
+    )
+    url = ok_pages[0]
+    before = {
+        r["doc_id"]: (r["create_at"], r["update_at"])
+        for r in storage.read("documents").collect()
+    }
+    seen_before = storage.read("seen").count()
+
+    c.evict([url])
+    assert storage.read("evicted").count() == 1
+    c.run()
+
+    fetches = storage.read("fetch_log").filter(F.col("url") == url).collect()
+    assert len(fetches) == 2
+    assert len({r["round"] for r in fetches}) == 2, "re-fetched in a later round"
+    # tombstone cleared the moment the hash re-entered seen
+    assert storage.read("evicted").count() == 0
+    # effective seen set is back to the full set (hash re-added once)
+    assert (
+        storage.read("seen").select("url_hash").distinct().count()
+        == storage.read("seen").count() - 1
+    )
+    assert storage.read("seen").count() == seen_before + 1
+
+    after = {
+        r["doc_id"]: (r["create_at"], r["update_at"])
+        for r in storage.read("documents").collect()
+    }
+    assert set(after) == set(before), "re-crawl must not add or drop docs"
+    refreshed = [d for d in after if after[d][1] != before[d][1]]
+    assert refreshed, "re-emitted docs must refresh update_at"
+    for d in after:
+        assert after[d][0] == before[d][0], f"create_at changed for {d}"
+
+
+def test_media_meta_table_and_sink(spark, world, tmp_path):
+    """The engine defaults media to the warehouse file sink (bytes never in
+    a plan column) and commits a typed media_meta row per fetched payload,
+    sniffed from the sink file, in the same atomic flip."""
+    import os
+
+    storage, _ = run_engine(spark, world, tmp_path / "mm", budget=5)
+    meta = {r["media_ref"]: r for r in storage.read("media_meta").collect()}
+    assert world["media_backup"] in meta
+    r = meta[world["media_backup"]]
+    assert r["media_path"] and os.path.exists(r["media_path"])
+    assert r["n_bytes"] == os.path.getsize(r["media_path"])
+    assert r["format"] is not None and r["media_kind"] is not None
+    # sink-mode lineage: every successful media fetch logged a path and an
+    # explicit byte count (ADVICE r02 — no NULL byte accounting on the
+    # at-scale path), and the sniffed size matches it
+    log = storage.read("fetch_log").filter(F.col("media_ref").isNotNull()).collect()
+    assert log
+    for row in log:
+        assert row["media_path"], row
+        assert row["bytes_fetched"] and row["bytes_fetched"] > 0, row
+        assert meta[row["media_ref"]]["n_bytes"] == row["bytes_fetched"]
+    # no scratch dirs left behind after committed rounds
+    assert not os.path.exists(
+        os.path.join(storage.warehouse, "_scratch")
+    ) or not os.listdir(os.path.join(storage.warehouse, "_scratch"))
 
 
 def test_resume_from_snapshot(spark, world, tmp_path):

@@ -89,7 +89,7 @@ def test_atomic_round_flip_and_vacuum(spark, tmp_path):
     log0 = spark.createDataFrame([], st.empty("fetch_log").schema)
     st.commit("fetch_log", log0)
     row = spark.createDataFrame(
-        [("u", 1, 0, 200, 0, None, 0, 1, 0, False, None, None, None)],
+        [("u", 1, 0, 200, 0, None, 0, 1, 0, False, None, None, None, None)],
         st.empty("fetch_log").schema,
     )
     # stage WITHOUT flipping = a crash before commit_multi
@@ -147,6 +147,138 @@ def test_merge_preserves_create_at(spark, world, tmp_path):
     assert updated, "re-crawl should refresh update_at on re-emitted docs"
     for d in updated:
         assert second[d][0] == first[d][0], f"create_at changed for {d}"
+
+
+def _docs_df(spark, lo, hi, tag="t", stamp="2026-01-01 00:00:00"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat(F.lit(tag), F.col("id")).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+        F.lit(stamp).cast("timestamp").alias("create_at"),
+        F.lit(stamp).cast("timestamp").alias("update_at"),
+    )
+
+
+def test_mor_merge_is_o_delta(spark, tmp_path):
+    """A MoR merge writes ONE delta dir and reads nothing: every pre-existing
+    data dir survives byte-identical, and read() resolves last-writer-wins
+    with create_at kept from the first version."""
+    st = SnapshotStorage(spark, str(tmp_path / "wh"))
+    st.merge_upsert("documents", _docs_df(spark, 0, 500, "a"), key="doc_id",
+                    keep_on_match=["create_at"], strategy="mor")
+    st.compact("documents")  # fold into a bucketed base
+    base_dirs = set(st.data_files("documents"))
+
+    st.merge_upsert(
+        "documents",
+        _docs_df(spark, 400, 600, "b", stamp="2026-02-02 00:00:00"),
+        key="doc_id", keep_on_match=["create_at"], strategy="mor",
+    )
+    dirs = set(st.data_files("documents"))
+    assert base_dirs <= dirs, "MoR merge must not rewrite any base dir"
+    assert len(dirs - base_dirs) == 1, "exactly one delta dir per merge"
+
+    out = {r["doc_id"]: r for r in st.read("documents").collect()}
+    assert len(out) == 600
+    assert out["doc450"]["spans"][0]["text"] == "b450"  # latest wins
+    assert out["doc100"]["spans"][0]["text"] == "a100"  # untouched key
+    assert str(out["doc450"]["create_at"]).startswith("2026-01-01")  # kept
+    assert str(out["doc450"]["update_at"]).startswith("2026-02-02")
+    assert str(out["doc550"]["create_at"]).startswith("2026-02-02")  # new key
+
+
+def test_mor_compact_touches_only_delta_buckets(spark, tmp_path):
+    """Folding MoR deltas rewrites only buckets the deltas touch; the
+    resolved table equals the pre-compaction read."""
+    st = SnapshotStorage(spark, str(tmp_path / "wh"))
+    st.merge_upsert("documents", _docs_df(spark, 0, 500, "a"), key="doc_id",
+                    keep_on_match=["create_at"], strategy="mor", n_buckets=16)
+    st.compact("documents")
+    base_dirs = set(st.data_files("documents"))
+    one = _docs_df(spark, 7, 8, "c", stamp="2026-03-03 00:00:00")
+    st.merge_upsert("documents", one, key="doc_id",
+                    keep_on_match=["create_at"], strategy="mor", n_buckets=16)
+    before = {r["doc_id"]: r["spans"][0]["text"] for r in st.read("documents").collect()}
+    st.compact("documents")
+    after_dirs = set(st.data_files("documents"))
+    # single-doc delta -> exactly one bucket rewritten, delta dir gone
+    assert len(base_dirs & after_dirs) == len(base_dirs) - 1
+    after = {r["doc_id"]: r["spans"][0]["text"] for r in st.read("documents").collect()}
+    assert after == before
+    assert after["doc7"] == "c7"
+
+
+def test_stage_append_rejects_merge_layout(spark, tmp_path):
+    st = SnapshotStorage(spark, str(tmp_path / "wh"))
+    st.merge_upsert("documents", _docs_df(spark, 0, 10), key="doc_id")
+    with pytest.raises(ValueError, match="merge-layout"):
+        st.stage_append("documents", _docs_df(spark, 10, 20))
+
+
+def test_corrupt_catalog_fails_loudly(spark, tmp_path):
+    wh = tmp_path / "wh"
+    st = SnapshotStorage(spark, str(wh))
+    st.commit("seen", st.empty("seen"))
+    (wh / "_CATALOG.json").write_text('{"seen": 0')  # torn write
+    with pytest.raises(RuntimeError, match="corrupt"):
+        SnapshotStorage(spark, str(wh)).read("seen")
+
+
+def test_legacy_layout_fails_loudly(spark, tmp_path):
+    wh = tmp_path / "wh"
+    st = SnapshotStorage(spark, str(wh))
+    os.makedirs(wh / "seen")
+    (wh / "seen" / "_LATEST").write_text("snap-000003")
+    with pytest.raises(RuntimeError, match="legacy"):
+        st.read("seen")
+
+
+def test_tiered_compact_never_rewrites_base(spark, tmp_path):
+    """Append-table compaction folds the small delta tail only: a base dir
+    much larger than the deltas beneath it survives by reference."""
+    st = SnapshotStorage(spark, str(tmp_path / "wh"))
+    seen = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.col("id").alias("url_hash"), F.lit(0).alias("bucket")
+    )
+    st.commit("seen", seen(0, 100_000).repartition(1))
+    base_dir = st.data_files("seen")[0]
+    for i in range(4):
+        st.commit_append("seen", seen(100_000 + 10 * i, 100_000 + 10 * i + 10))
+    st.compact("seen")
+    dirs = st.data_files("seen")
+    assert base_dir in dirs, "large base must not be rewritten"
+    assert len(dirs) == 2  # base + one folded delta dir
+    assert st.read("seen").count() == 100_040
+    # when deltas have grown comparable to the base, the next compaction may
+    # fold everything — that is the amortized O(log N) doubling, not a bug
+
+
+def test_expire_snapshots_bounds_warehouse(spark, tmp_path):
+    """expire_snapshots reclaims superseded dirs; kept snapshots still read."""
+    st = SnapshotStorage(spark, str(tmp_path / "wh"))
+    for i in range(6):
+        st.merge_upsert("documents", _docs_df(spark, 0, 50, f"v{i}"),
+                        key="doc_id", n_buckets=4)  # CoW: supersedes all buckets
+    n_dirs_before = len(
+        [d for d in os.listdir(tmp_path / "wh" / "documents") if d.startswith("data-")]
+    )
+    expired = st.expire_snapshots("documents", keep_last=2)
+    assert expired, "old snapshots should be expired"
+    n_dirs_after = len(
+        [d for d in os.listdir(tmp_path / "wh" / "documents") if d.startswith("data-")]
+    )
+    assert n_dirs_after < n_dirs_before
+    # live read unaffected; previous kept snapshot still time-travels
+    assert st.read("documents").count() == 50
+    snaps = st.snapshots("documents")
+    assert len(snaps) == 2
+    assert st.read("documents", snapshot=snaps[0]).count() == 50
 
 
 def test_snapshot_dir_bytes_stay_bounded(spark, world, tmp_path):

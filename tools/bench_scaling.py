@@ -144,6 +144,15 @@ def main() -> None:
             hi_runs.append(run_bench(hi, frontier_n))
     lo_runs = [r for r in lo_runs if r]
     hi_runs = [r for r in hi_runs if r]
+    if not lo_runs or not hi_runs:
+        # every run of one size failed/timed out: report the partial result
+        # instead of crashing a multi-hour measurement at the finish line
+        print(json.dumps({
+            "error": "all runs failed for one size",
+            "lo_ok": len(lo_runs), "hi_ok": len(hi_runs),
+            "host_ceiling": ceiling,
+        }))
+        return
     r_lo = max(lo_runs, key=lambda r: r["value"])
     r_hi = max(hi_runs, key=lambda r: r["value"])
     all_obs = {

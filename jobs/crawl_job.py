@@ -30,6 +30,8 @@ def main() -> None:
     ap.add_argument("--bloom", action="store_true")
     ap.add_argument("--bloom-partitioned", action="store_true",
                     help="cogrouped bloom probe (no driver broadcast)")
+    ap.add_argument("--cuckoo", action="store_true",
+                    help="deletable cuckoo seen-prefilter (re-crawl eviction)")
     ap.add_argument("--salt-n", type=int, default=1)
     ap.add_argument("--synthetic", action="store_true",
                     help="generate a deterministic site + seeds")
@@ -39,6 +41,8 @@ def main() -> None:
         SparkSession.builder.appName("spiders_for_all_spark-crawl")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # one Arrow batch per fetch task (measured +26% on the bench round)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
@@ -69,6 +73,7 @@ def main() -> None:
             default_budget=args.budget,
             use_bloom=args.bloom or args.bloom_partitioned,
             bloom_partitioned=args.bloom_partitioned,
+            use_cuckoo=args.cuckoo,
             salt_n=args.salt_n,
         ),
     )

@@ -68,17 +68,47 @@ def schedule_round(
     default_budget: int = 2,
     salt_n: int = 1,
 ) -> DataFrame:
-    """Pick this round's fetch set: top-``budget`` per host in priority order."""
+    """Pick this round's fetch set: top-``budget`` per host in priority order.
+
+    Salting is **adaptive per host**: a ``host_budget`` row with
+    ``salt_n > 1`` routes that host through a bounded two-phase pre-rank
+    (phase 1 within ``(host, salt)`` slices kills the hot-host straggler —
+    the bilibili single-API-host pattern), while every other host goes
+    straight to the single final window.  Cold rows therefore shuffle
+    ONCE, not twice — at 10^10 frontier rows with one hot host, the old
+    global-salt plan paid a full extra exchange+sort on ~100% of rows to
+    protect <1% of them.  The global ``salt_n`` argument remains the
+    default for hosts without a ``host_budget`` row.
+
+    Salting is result-invariant: each salt slice keeps its own top-budget,
+    a superset of the host's global top-budget, so the final window
+    returns exactly the unsalted result (golden-tested).
+    """
     wb = _with_budget(frontier, host_budget, default_budget)
-    if salt_n > 1:
-        # phase 1: bounded pre-rank within (host, salt) — kills hot-host skew
-        salt = F.pmod(F.col("url_hash"), F.lit(salt_n))
-        w1 = Window.partitionBy("host", salt).orderBy(*ORDER_COLS)
-        wb = (
-            wb.withColumn("_pre_rank", F.row_number().over(w1))
+
+    def pre_rank(df: DataFrame, salt_expr) -> DataFrame:
+        w1 = Window.partitionBy("host", salt_expr).orderBy(*ORDER_COLS)
+        return (
+            df.withColumn("_pre_rank", F.row_number().over(w1))
             .filter(F.col("_pre_rank") <= F.col("budget"))
             .drop("_pre_rank")
         )
+
+    if host_budget is not None and "salt_n" in host_budget.columns:
+        # per-host: only rows of salted hosts take the two-phase path
+        wb = wb.join(
+            F.broadcast(host_budget.select("host", "salt_n")), on="host", how="left"
+        ).withColumn(
+            "_salt_n", F.coalesce(F.col("salt_n"), F.lit(salt_n))
+        ).drop("salt_n")
+        hot = pre_rank(
+            wb.filter(F.col("_salt_n") > 1),
+            F.pmod(F.col("url_hash"), F.col("_salt_n")),
+        )
+        wb = wb.filter(F.col("_salt_n") <= 1).unionByName(hot).drop("_salt_n")
+    elif salt_n > 1:
+        wb = pre_rank(wb, F.pmod(F.col("url_hash"), F.lit(salt_n)))
+
     w = Window.partitionBy("host").orderBy(*ORDER_COLS)
     return (
         wb.withColumn("sched_rank", F.row_number().over(w))

@@ -242,6 +242,32 @@ def test_host_budget_table_caps_per_round(spark, world, tmp_path):
         assert r["count"] <= cap, r
 
 
+def test_per_host_salting_is_result_invariant(spark):
+    """Adaptive skew handling: a host_budget row with salt_n>1 routes ONLY
+    that host through the two-phase pre-rank; the scheduled set is
+    identical to fully-unsalted scheduling (each salt slice keeps its own
+    top-budget — a superset of the host's global top-budget)."""
+    from spiders_for_all_spark.operators.politeness import schedule_round
+
+    fr = spark.range(0, 2000).select(
+        F.concat(F.lit("h"), (F.col("id") % 5)).alias("host"),
+        F.concat(F.lit("u"), F.col("id")).alias("canonical_url"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+        F.lit(0).alias("discovery_round"),
+        F.lit(0).alias("attempt"),
+    )
+    hb = spark.createDataFrame(
+        [("h0", 7, 4), ("h2", 7, 2)],
+        "host string, budget_per_round int, salt_n int",
+    )
+    salted = schedule_round(fr, hb, default_budget=7, salt_n=1)
+    flat = schedule_round(fr, hb.drop("salt_n"), default_budget=7, salt_n=1)
+    a = sorted(tuple(r) for r in salted.collect())
+    b = sorted(tuple(r) for r in flat.collect())
+    assert a == b and len(a) == 5 * 7
+
+
 def test_total_doc_cap_stops_crawl(spark, world, tmp_path):
     storage, stats = _crawl(
         spark, world, tmp_path / "cap",

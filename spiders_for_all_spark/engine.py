@@ -273,23 +273,6 @@ class Crawler:
             strategy="mor",
         )
 
-        # 6b. media metadata: sniff every fetched media payload (from the
-        # sink file, or inline bytes when no sink) into the typed media_meta
-        # table — same atomic flip as the rest of the round
-        media_rows = ok.filter(F.col("media_ref").isNotNull()).select(
-            "url_hash", "media_ref", "media_path"
-        )
-        media_meta = MM.sniff_media_meta(media_rows, path_col="media_path").select(
-            "url_hash",
-            "media_ref",
-            "media_path",
-            F.lit(round_no).alias("round"),
-            "n_bytes",
-            "format",
-            "media_kind",
-        )
-        staged_media = storage.stage_append("media_meta", media_meta)
-
         # 7. successors + retries -> next frontier
         succ = FR.successors(ok, round_no + 1, cfg.max_depth)
         retries = FR.normalize_frontier(
@@ -362,8 +345,36 @@ class Crawler:
             F.sum(
                 (~ok_cond() & (F.col("attempt") + 1 >= cfg.max_attempts)).cast("int")
             ).alias("dead"),
+            F.sum(
+                (ok_cond() & F.col("media_ref").isNotNull()).cast("int")
+            ).alias("media"),
         ).collect()[0]
-        staged = [staged_docs, staged_media, staged_seen, staged_log, staged_frontier]
+
+        # 6b. media metadata: sniff every fetched media payload (from the
+        # sink file, or inline bytes when no sink) into the typed media_meta
+        # table — same atomic flip as the rest of the round.  Staged only
+        # when the round actually fetched media (the count above is free):
+        # media-free rounds skip the whole job instead of writing an empty
+        # delta dir every round.
+        staged_media = None
+        if int(counts["media"] or 0) > 0:
+            media_rows = ok.filter(F.col("media_ref").isNotNull()).select(
+                "url_hash", "media_ref", "media_path"
+            )
+            media_meta = MM.sniff_media_meta(media_rows, path_col="media_path").select(
+                "url_hash",
+                "media_ref",
+                "media_path",
+                F.lit(round_no).alias("round"),
+                "n_bytes",
+                "format",
+                "media_kind",
+            )
+            staged_media = storage.stage_append("media_meta", media_meta)
+
+        staged = [staged_docs, staged_seen, staged_log, staged_frontier]
+        if staged_media is not None:
+            staged.append(staged_media)
         if evicted is not None:
             # clear tombstones whose URL was re-fetched this round (its hash
             # re-entered seen); the evicted table stays O(pending evictions)

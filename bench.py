@@ -57,6 +57,18 @@ def build_session() -> SparkSession:
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "50000"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # shuffle/spill files on tmpfs, not the shared virtio disk: measured
+        # 32.0 s -> 18.3 s at local[16]/4M (and 4->16 efficiency 0.45 ->
+        # 0.63 in the same window).  The sandbox disk is the one resource
+        # all co-tenants contend hardest on; a real cluster maps this to
+        # node-local NVMe via the same knob.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

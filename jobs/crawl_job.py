@@ -43,6 +43,15 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         # one Arrow batch per fetch task (measured +26% on the bench round)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # local-mode default: shuffle on tmpfs, not the shared virtio disk
+        # (cluster deploys override with node-local NVMe dirs)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

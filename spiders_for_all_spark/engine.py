@@ -168,6 +168,11 @@ class Crawler:
     def run(self, seeds: list[dict] | None = None, max_rounds: int | None = None) -> CrawlStats:
         if seeds is not None:
             self.bootstrap(seeds)
+        # a crash mid-round can orphan a scratch spill dir; committed rounds
+        # always delete theirs, so anything here is dead weight
+        shutil.rmtree(
+            os.path.join(self.storage.warehouse, "_scratch"), ignore_errors=True
+        )
         stats = CrawlStats()
         limit = max_rounds if max_rounds is not None else self.config.max_rounds
         round_no = self.next_round_no()

@@ -206,6 +206,71 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters: connected components over the candidate-pair graph
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(doc_id, component) for every node of the pair graph; component =
+    min doc_id reachable (the cluster representative).
+
+    Iterative min-label propagation — the same shape GraphFrames/Pregel CC
+    uses: each round every node takes the min of its own label and its
+    neighbors' labels (one equi-join + one partial-aggregatable min per
+    round), stopping when a round changes nothing.  Rounds needed = graph
+    diameter, which for near-dup clusters is tiny (dup groups are dense).
+    No driver-side graph state: the driver only sees the per-round changed
+    count.  Lineage is truncated every ``checkpoint_every`` rounds so plans
+    stay bounded on deep graphs.
+    """
+    edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    edges = (
+        edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+    )
+    labels = (
+        edges.select("x").distinct().withColumn("label", F.col("x"))
+    ).localCheckpoint(eager=True)
+    for i in range(max_iter):
+        neigh = edges.join(
+            labels.select(F.col("x").alias("y"), F.col("label").alias("nl")),
+            on="y",
+        ).select("x", F.col("nl").alias("label"))
+        new_labels = (
+            labels.unionByName(neigh).groupBy("x").agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.select("x", F.col("label").alias("old")), on="x"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("x").alias("doc_id"), F.col("label").alias("component"))
+
+
+def minhash_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup clusters: banded-MinHash candidate pairs -> connected
+    components.  The at-scale composition every corpus dedup pipeline runs
+    (keep component representative, drop the rest)."""
+    return connected_components(minhash_candidate_pairs(df, text_col, id_col))
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 
 

@@ -584,6 +584,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_minhash_clusters",
+    _MINHASH_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+    edges AS (SELECT a AS x, b AS y FROM pairs
+              UNION SELECT b, a FROM pairs
+              UNION SELECT n, n FROM nodes),
+    reach AS (SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+    SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: banded-MinHash pairs -> connected components via
+    iterative min-label propagation (one equi-join + partial-agg min per
+    round, no driver graph state).  The oracle computes the same components
+    by transitive closure (DuckDB recursive CTE) — exact match required."""
+    return TD.minhash_dup_clusters(_docs(spark, sf_dir))
+
+
+@_register(
     "dedup_simhash",
     f"""
     WITH {_SHINGLES_SQL},

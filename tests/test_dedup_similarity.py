@@ -35,6 +35,23 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any("d4" in p for p in pairs)  # unrelated doc not paired
 
 
+def test_connected_components_clusters(spark):
+    """Chain a-b-c plus isolated-pair e-f: two components, min-id reps, and
+    a chain deeper than one hop (propagation must iterate)."""
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("e", "f"), ("c", "d")], "a string, b string"
+    )
+    out = {r["doc_id"]: r["component"] for r in TD.connected_components(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+
+
+def test_minhash_dup_clusters(docs):
+    out = {r["doc_id"]: r["component"] for r in TD.minhash_dup_clusters(docs).collect()}
+    # d1/d2/d5 exact-dup family (+ d3 near dup) share one component, rep=d1
+    assert out["d2"] == "d1" and out["d5"] == "d1" and out["d3"] == "d1"
+    assert "d4" not in out  # unpaired doc is not a graph node
+
+
 def test_ngram_jaccard_scores(spark, docs):
     pairs = spark.createDataFrame(
         [("d1", "d2"), ("d1", "d3"), ("d1", "d4")], "a string, b string"

@@ -4,15 +4,21 @@ Replaces the reference's ``run() = before(); save_items(get_items()); after``
 driver (reference: core/spider.py:245-248,295-327) with the round loop of
 SURVEY §3.1:
 
-    frontier -> anti-join seen (exact, or bloom+exact-confirm)
+    frontier -> anti-join seen (exact | incremental bloom | deletable
+                cuckoo, each + exact-confirm; eviction tombstones subtracted)
              -> robots gate (broadcast join)
-             -> politeness window top-k per host (salted when skewed)
-             -> fetch  (mapInPandas, partitioned by host)
-             -> parse  (mapInPandas, Arrow-batched)
-             -> documents MERGE (upsert by doc_id)
+             -> politeness window top-k per host (per-host salting for
+                hot hosts only)
+             -> fetch  (mapInPandas, partitioned by host; media streams to
+                the warehouse file sink, never into a column)
+             -> parse  (pure Catalyst)
+             -> columnar scratch spill (each downstream job prunes columns)
+             -> documents MERGE (merge-on-read delta, upsert by doc_id)
+             -> media_meta (payloads sniffed from sink files)
              -> successors/retries -> next frontier
-             -> seen += fetched; fetch_log += lineage
-             -> snapshot commit (resumable checkpoint, north_rule)
+             -> seen += fetched; fetch_log += lineage; bloom |= delta
+             -> ONE atomic multi-table snapshot commit (resumable
+                checkpoint, north_rule); periodic compaction + expiry
 
 All loop state (page/cursor positions the reference keeps on spider objects)
 lives in frontier columns; a killed run resumes from the last committed
@@ -51,6 +57,10 @@ class CrawlConfig:
     # the bitmap table — required once the bitmaps outgrow driver memory
     # (~GBs at 10^10 keys); the broadcast path is faster while they fit.
     bloom_partitioned: bool = False
+    # maintain the bloom as a committed table, OR-merging each round's
+    # seen-delta bloom (O(delta)/round) instead of re-scanning the full
+    # seen set per round; full rebuild + resize happens at compaction
+    bloom_incremental: bool = True
     # cuckoo-filter seen prefilter instead of bloom: supports DELETIONS, so
     # re-crawl eviction (evict()) removes hashes from the probe filter
     # itself rather than relying on the exact-confirm alone (north_star:
@@ -220,9 +230,19 @@ class Crawler:
                 frontier, seen, cuckoo, cfg.n_buckets
             )
         elif cfg.use_bloom:
-            bloom = D.build_bloom(
-                seen, cfg.n_buckets, cfg.bloom_expected_per_bucket
-            )
+            if cfg.bloom_incremental and storage.latest_snapshot("bloom") is not None:
+                # the filter was committed with last round's seen delta —
+                # no O(|seen|) rebuild on the hot path
+                bloom = storage.read("bloom")
+                prow = bloom.select("n_bits", "n_hashes").first()
+                bloom_sizing = (
+                    (int(prow["n_bits"]), int(prow["n_hashes"])) if prow else None
+                )
+            else:
+                bloom = D.build_bloom(
+                    seen, cfg.n_buckets, cfg.bloom_expected_per_bucket
+                )
+                bloom_sizing = None
             if cfg.bloom_partitioned:
                 candidates = D.seen_anti_join_bloom_partitioned(
                     frontier, seen, bloom, cfg.n_buckets
@@ -380,6 +400,19 @@ class Crawler:
         staged = [staged_docs, staged_seen, staged_log, staged_frontier]
         if staged_media is not None:
             staged.append(staged_media)
+        if cfg.use_bloom and not cfg.use_cuckoo and cfg.bloom_incremental:
+            # OR the round's delta into the persisted filter — O(delta)
+            # work, committed in the same flip as the seen delta itself so
+            # the filter and the set can never diverge across a crash
+            delta_bloom = D.build_bloom(
+                seen_delta, cfg.n_buckets, cfg.bloom_expected_per_bucket,
+                params=bloom_sizing,
+            )
+            staged.append(
+                storage.stage_overwrite(
+                    "bloom", D.merge_blooms(bloom, delta_bloom)
+                )
+            )
         if evicted is not None:
             # clear tombstones whose URL was re-fetched this round (its hash
             # re-entered seen); the evicted table stays O(pending evictions)
@@ -393,6 +426,15 @@ class Crawler:
             )
         storage.commit_multi(staged)
         shutil.rmtree(scratch, ignore_errors=True)
+        # frontier is overwritten every round — expire superseded snapshots
+        # now (pure os-level dir removal) instead of letting up to
+        # compact_every full frontier copies pile up between maintenance
+        # passes; other tables expire in the maintenance block below
+        if cfg.expire_keep_last:
+            storage.expire_snapshots("frontier", keep_last=cfg.expire_keep_last)
+            if storage.latest_snapshot("bloom") is not None:
+                # like frontier, the bloom table is overwritten per round
+                storage.expire_snapshots("bloom", keep_last=cfg.expire_keep_last)
 
         # maintenance: fold append/MoR deltas periodically (size-tiered for
         # the append tables, touched-buckets-only for documents) and expire
@@ -402,9 +444,23 @@ class Crawler:
             storage.compact("fetch_log")
             storage.compact("documents")
             storage.compact("media_meta")
+            if cfg.use_bloom and not cfg.use_cuckoo and cfg.bloom_incremental:
+                # full rebuild RESIZES the filter to the grown seen set so
+                # fpp stays bounded over a long crawl (the incremental ORs
+                # keep the size fixed between rebuilds)
+                seen_now = storage.read("seen")
+                per_bucket = max(
+                    cfg.bloom_expected_per_bucket,
+                    int(seen_now.count() * 1.25) // max(cfg.n_buckets, 1) + 1,
+                )
+                storage.commit(
+                    "bloom",
+                    D.build_bloom(seen_now, cfg.n_buckets, per_bucket),
+                )
             if cfg.expire_keep_last:
-                for t in ("seen", "fetch_log", "documents", "media_meta", "frontier"):
-                    storage.expire_snapshots(t, keep_last=cfg.expire_keep_last)
+                for t in ("seen", "fetch_log", "documents", "media_meta", "evicted"):
+                    if storage.latest_snapshot(t) is not None:
+                        storage.expire_snapshots(t, keep_last=cfg.expire_keep_last)
 
         # docs total only matters for the A2 cap check — avoid the extra job
         # otherwise (each driver-side action is a full Spark job per round)

@@ -64,9 +64,14 @@ def build_bloom(
     n_buckets: int = DEFAULT_BUCKETS,
     expected_per_bucket: int = 10_000,
     fpp: float = 0.01,
+    params: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Per-bucket bloom bitmaps over seen.url_hash (applyInPandas UDAF)."""
-    n_bits, n_hashes = bloom_params(expected_per_bucket, fpp)
+    """Per-bucket bloom bitmaps over seen.url_hash (applyInPandas UDAF).
+
+    ``params`` pins (n_bits, n_hashes) explicitly — required when building
+    a DELTA bloom that must OR-merge into an existing table whose sizing
+    may differ from the config (see :func:`merge_blooms`)."""
+    n_bits, n_hashes = params or bloom_params(expected_per_bucket, fpp)
 
     def agg(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(n_bits // 8, dtype=np.uint8)
@@ -85,6 +90,38 @@ def build_bloom(
     bucketed = with_bucket(seen.select("url_hash"), n_buckets)
     return bucketed.groupBy("bucket").applyInPandas(
         agg, schema="bucket int, n_bits int, n_hashes int, bits binary"
+    )
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bitwise-OR union of two per-bucket bloom tables: bloom(S ∪ D) =
+    bloom(S) | bloom(D) for same-sized filters.
+
+    Blooms are mergeable sketches, which makes the seen filter
+    INCREMENTALLY maintainable: the engine ORs in a bloom built from just
+    the round's seen DELTA (O(delta) work) instead of re-scanning the
+    10^10-row seen set every round; a full rebuild (which also resizes the
+    filter as the crawl grows) happens only at the periodic compaction.
+    A size mismatch raises — that means the stored table needs a rebuild.
+    """
+
+    def orit(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return right
+        if len(right) == 0:
+            return left
+        la = np.frombuffer(bytes(left["bits"].iloc[0]), np.uint8)
+        rb = np.frombuffer(bytes(right["bits"].iloc[0]), np.uint8)
+        if len(la) != len(rb):
+            raise ValueError(
+                "bloom bitmap size mismatch — rebuild the stored bloom"
+            )
+        return left.assign(bits=[np.bitwise_or(la, rb).tobytes()])
+
+    return (
+        a.groupby("bucket")
+        .cogroup(b.groupby("bucket"))
+        .applyInPandas(orit, schema="bucket int, n_bits int, n_hashes int, bits binary")
     )
 
 

@@ -124,6 +124,19 @@ MEDIA_META = T.StructType(
     ]
 )
 
+# Persisted per-bucket bloom bitmaps over the seen set, maintained
+# INCREMENTALLY (OR-merge of the round's delta bloom — O(delta)/round) and
+# rebuilt+resized at compaction.  Committed in the same atomic flip as
+# seen, so the filter can never lag or lead the set it summarizes.
+BLOOM = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("n_bits", T.IntegerType(), False),
+        T.StructField("n_hashes", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ]
+)
+
 # Re-crawl eviction tombstones: url_hashes logically deleted from the seen
 # set (cuckoo-filter deletions at probe time).  Rows are removed again the
 # moment the URL is re-fetched (its hash re-enters seen) — the table stays

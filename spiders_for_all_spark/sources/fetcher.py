@@ -226,10 +226,12 @@ class HttpFetcher:
     """
 
     def __init__(self, timeout_s: float = 10.0, user_agents: list[str] | None = None,
-                 partitions: int | None = None):
+                 partitions: int | None = None, media_sink_dir: str | None = None):
         self.timeout_s = timeout_s
         self.user_agents = user_agents or ["spiders-for-all-spark/0.1"]
         self.partitions = partitions
+        # None = let the engine default this to the warehouse media sink
+        self.media_sink_dir = media_sink_dir
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         try:
@@ -242,6 +244,7 @@ class HttpFetcher:
         out_schema = fetched_schema(scheduled.schema)
         out_cols = [f.name for f in out_schema.fields]
         timeout, uas = self.timeout_s, self.user_agents
+        sink_dir = self.media_sink_dir
 
         chunk_size = 10 * 1024 * 1024  # reference const.py:1 CHUNK_SIZE
         has_backups = "backup_urls" in scheduled.columns
@@ -265,7 +268,7 @@ class HttpFetcher:
 
             for pdf in batches:
                 statuses, bodies, lats, errs = [], [], [], []
-                mrefs, mbytes, mchunks, nbytes = [], [], [], []
+                mrefs, mbytes, mchunks, nbytes, mpaths = [], [], [], [], []
                 backups = pdf["backup_urls"] if has_backups else [None] * len(pdf)
                 kinds = pdf["kind"] if "kind" in pdf.columns else [""] * len(pdf)
                 for i, (url, kind, backup) in enumerate(zip(pdf["url"], kinds, backups)):
@@ -275,13 +278,24 @@ class HttpFetcher:
                         status, err, mref, mb, nch = _fetch_media_chunked(
                             read_candidate, cands, 0, chunk_size
                         )
+                        nbytes.append(len(mb) if mb is not None else None)
+                        path = None
+                        if sink_dir is not None and mb is not None:
+                            import os
+
+                            os.makedirs(sink_dir, exist_ok=True)
+                            path = os.path.join(sink_dir, media_filename(url))
+                            with open(path, "wb") as fh:
+                                for ci in range(0, len(mb), chunk_size):
+                                    fh.write(mb[ci : ci + chunk_size])
+                            mb = None
                         statuses.append(status)
                         bodies.append(None)
                         errs.append(err)
                         mrefs.append(mref)
                         mbytes.append(mb)
                         mchunks.append(nch)
-                        nbytes.append(len(mb) if mb is not None else None)
+                        mpaths.append(path)
                         lats.append(int((time.monotonic() - t0) * 1000))
                         continue
                     try:
@@ -301,6 +315,7 @@ class HttpFetcher:
                     mbytes.append(None)
                     mchunks.append(None)
                     nbytes.append(None)
+                    mpaths.append(None)
                     lats.append(int((time.monotonic() - t0) * 1000))
                 yield pdf.assign(
                     status=pd.array(statuses, dtype="Int32"),
@@ -311,7 +326,7 @@ class HttpFetcher:
                     media_ref=pd.array(mrefs, dtype="object"),
                     media_bytes=pd.array(mbytes, dtype="object"),
                     n_chunks=pd.array(mchunks, dtype="Int32"),
-                    media_path=pd.array([None] * len(pdf), dtype="object"),
+                    media_path=pd.array(mpaths, dtype="object"),
                     bytes_fetched=pd.array(nbytes, dtype="Int64"),
                 )[out_cols]
 

@@ -60,6 +60,7 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "host_budget": S.HOST_BUDGET,
     "media_meta": S.MEDIA_META,
     "evicted": S.EVICTED,
+    "bloom": S.BLOOM,
 }
 
 MERGE_BUCKETS = 64  # bucket(key) partition spec for merge tables

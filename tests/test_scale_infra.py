@@ -143,6 +143,29 @@ def test_cuckoo_build_sizes_from_actual_rows(spark):
     assert got == 4000
 
 
+def test_merge_blooms_equals_full_build(spark, hashes):
+    """bloom(A) | bloom(B) is bit-identical to bloom(A ∪ B) — the property
+    the engine's incremental O(delta)/round filter maintenance rests on."""
+    # split on sign, NOT parity: parity correlates with pmod(hash, 8), which
+    # would make the two blooms' buckets disjoint and never exercise the OR
+    a = hashes.filter(F.col("url_hash") > 0)
+    b = hashes.filter(F.col("url_hash") <= 0)
+    merged = {
+        r["bucket"]: bytes(r["bits"])
+        for r in D.merge_blooms(
+            D.build_bloom(a, 8, 64), D.build_bloom(b, 8, 64)
+        ).collect()
+    }
+    full = {
+        r["bucket"]: bytes(r["bits"]) for r in D.build_bloom(hashes, 8, 64).collect()
+    }
+    assert merged == full
+
+    # size mismatch must fail loudly, not silently corrupt the filter
+    with pytest.raises(Exception, match="(?s)size mismatch"):
+        D.merge_blooms(D.build_bloom(a, 8, 64), D.build_bloom(b, 8, 4096)).collect()
+
+
 def test_media_sink_streams_to_files(spark, tmp_path):
     """S6 scale path: with a media sink, payloads are chunk-streamed to
     files inside the fetch worker and only the path/ref travel through the

@@ -281,6 +281,50 @@ def test_expire_snapshots_bounds_warehouse(spark, tmp_path):
     assert st.read("documents", snapshot=snaps[0]).count() == 50
 
 
+def test_long_crawl_warehouse_stays_bounded(spark, world, tmp_path):
+    """A multi-round crawl with periodic compaction + expiry keeps the
+    warehouse O(live data): frontier keeps <= expire_keep_last snapshots,
+    per-table data-dir counts stay bounded, and a kept snapshot still
+    time-travels."""
+    wh = tmp_path / "wh"
+    storage = SnapshotStorage(spark, str(wh))
+    crawler = Crawler(
+        spark, storage, SyntheticFetcher(world["site_path"], partitions=4),
+        CrawlConfig(default_budget=2, compact_every=4, expire_keep_last=2),
+    )
+    stats = crawler.run(seeds=world["seeds"])
+    rounds = len(stats.rounds)
+    assert rounds >= 6
+
+    # frontier: overwritten every round but expired every round too
+    assert len(storage.snapshots("frontier")) <= 2
+    fdirs = [d for d in os.listdir(wh / "frontier") if d.startswith("data-")]
+    assert len(fdirs) <= 2
+
+    # append tables: compaction folds the tail (live dirs stay bounded) and
+    # expiry guarantees every on-disk dir is referenced by a LIVE manifest,
+    # with manifest count bounded by keep_last + one maintenance period —
+    # i.e. disk is O(live data) at the maintenance cadence horizon
+    for t in ("seen", "fetch_log"):
+        n = storage.n_data_dirs(t)
+        assert n <= rounds // 2 + 2, (t, n, rounds)
+        manifests = storage.snapshots(t)
+        assert len(manifests) <= 2 + 4, (t, manifests)  # keep_last + cadence
+        refd = {
+            os.path.relpath(p, wh / t).split(os.sep)[0]
+            for s in manifests
+            for p in storage.data_files(t, s)
+        }
+        ondisk = {d for d in os.listdir(wh / t) if d.startswith("data-")}
+        assert ondisk <= refd, (t, sorted(ondisk - refd))
+
+    # a kept older snapshot still reads (time travel window intact)
+    snaps = storage.snapshots("seen")
+    assert storage.read("seen", snapshot=snaps[0]).count() >= 0
+    # and the current state is complete
+    assert storage.read("fetch_log").count() == sum(r.scheduled for r in stats.rounds)
+
+
 def test_snapshot_dir_bytes_stay_bounded(spark, world, tmp_path):
     """The per-round write volume must not grow with history size: the last
     fetch_log delta dir is not larger than the first (same-shaped rounds)."""

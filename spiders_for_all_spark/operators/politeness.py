@@ -28,6 +28,65 @@ from pyspark.sql import functions as F
 ORDER_COLS = ["priority", "discovery_round", "canonical_url"]
 
 
+def parse_robots_txt(
+    df: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """robots.txt text -> one rule row per (host, Disallow path) for the
+    matching User-agent section, plus the section's Crawl-delay.
+
+    Pure Catalyst: posexplode the lines, assign each line to its
+    User-agent section with a running count window, keep sections whose
+    agent matches.  Feeds :func:`robots_gate` after a groupBy collect
+    (see :func:`robots_table_from_bodies`).  The reference has no robots
+    support at all — this is north_star surface ("robots.txt gate").
+    """
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("i", "line"),
+    ).withColumn("line", F.trim(F.regexp_replace("line", "#.*$", "")))
+    ua = F.regexp_extract("line", r"(?i)^user-agent:\s*(\S+)", 1)
+    lines = lines.withColumn("ua", ua)
+    w = Window.partitionBy("host").orderBy("i")
+    sec = F.sum((F.col("ua") != "").cast("int")).over(w)
+    lines = lines.withColumn("section", sec)
+    wsec = Window.partitionBy("host", "section")
+    lines = lines.withColumn("section_agent", F.max(F.col("ua")).over(wsec))
+    star = lines.filter(F.lower(F.col("section_agent")) == agent.lower())
+    dis = F.regexp_extract("line", r"(?i)^disallow:\s*(\S+)", 1)
+    delay = F.regexp_extract("line", r"(?i)^crawl-delay:\s*([0-9.]+)", 1)
+    rules = star.select(
+        "host",
+        F.col("i").alias("rule_idx"),
+        dis.alias("path"),
+        F.max(F.nullif(delay, F.lit("")).cast("double")).over(
+            Window.partitionBy("host")
+        ).alias("crawl_delay"),
+    ).filter(F.col("path") != "")
+    return rules
+
+
+def robots_table_from_bodies(
+    df: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """Collapse parsed rules to the ROBOTS gate schema
+    (host, disallow array<string> in file order, crawl_delay)."""
+    rules = parse_robots_txt(df, host_col, body_col, agent)
+    return (
+        rules.groupBy("host")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rule_idx"), F.col("path")))
+                ),
+                lambda s: s["path"],
+            ).alias("disallow"),
+            F.max("crawl_delay").alias("crawl_delay"),
+        )
+    )
+
+
 def robots_gate(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop URLs whose path matches a disallow prefix for their host.
 

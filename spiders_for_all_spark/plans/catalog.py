@@ -840,6 +840,71 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(d)
 
 
+_ROBOTS_BODY_SQL = """
+    'User-agent: googlebot' || chr(10) ||
+    'Disallow: /gbot-only' || chr(10) ||
+    '# comment line' || chr(10) ||
+    'User-agent: *' || chr(10) ||
+    'Disallow: /' || host || chr(10) ||
+    'Crawl-delay: ' || (length(host) % 3 + 1) || chr(10) ||
+    'Disallow: /tmp' || chr(10)
+"""
+
+
+@_register(
+    "robots_txt_parse",
+    f"""
+    WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+    bodies AS (SELECT host, {_ROBOTS_BODY_SQL} AS body FROM hosts),
+    lines AS (SELECT host,
+                     generate_subscripts(string_split(body, chr(10)), 1) - 1 AS i,
+                     trim(regexp_replace(unnest(string_split(body, chr(10))), '#.*$', '')) AS line
+              FROM bodies),
+    ua AS (SELECT host, i, line,
+                  regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1) AS agent
+           FROM lines),
+    secs AS (SELECT host, i, line, agent,
+                    sum(CASE WHEN agent <> '' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY host ORDER BY i) AS section
+             FROM ua),
+    named AS (SELECT host, i, line, section,
+                     max(agent) OVER (PARTITION BY host, section) AS section_agent
+              FROM secs),
+    star AS (SELECT * FROM named WHERE lower(section_agent) = '*'),
+    delays AS (SELECT host,
+                      max(TRY_CAST(nullif(regexp_extract(line, '(?i)^crawl-delay:\\s*([0-9.]+)', 1), '') AS DOUBLE)) AS crawl_delay
+               FROM star GROUP BY host)
+    SELECT s.host, s.i AS rule_idx,
+           regexp_extract(s.line, '(?i)^disallow:\\s*(\\S+)', 1) AS path,
+           d.crawl_delay
+    FROM star s JOIN delays d USING (host)
+    WHERE regexp_extract(s.line, '(?i)^disallow:\\s*(\\S+)', 1) <> ''
+    """,
+)
+def robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing as pure Catalyst (posexplode + section windows):
+    deterministic per-host robots bodies with an agent-specific section, a
+    comment, a wildcard section with two Disallow rules and a Crawl-delay —
+    parsed to one rule row per (host, path).  Feeds the round's robots
+    gate via politeness.robots_table_from_bodies."""
+    from spiders_for_all_spark.operators.politeness import parse_robots_txt
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host")
+    ).distinct()
+    body = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /gbot-only\n# comment line\n"),
+        F.lit("User-agent: *\nDisallow: /"),
+        F.col("host"),
+        F.lit("\nCrawl-delay: "),
+        (F.length("host") % 3 + 1).cast("string"),
+        F.lit("\nDisallow: /tmp\n"),
+    )
+    return parse_robots_txt(hosts.withColumn("body", body)).select(
+        "host", "rule_idx", "path", "crawl_delay"
+    )
+
+
 @_register(
     "media_meta_sniff",
     """

@@ -265,6 +265,40 @@ def test_host_budget_table_caps_per_round(spark, world, tmp_path):
         assert r["count"] <= cap, r
 
 
+def test_robots_parser_feeds_gate(spark):
+    """robots.txt text -> parsed rules -> gate: a URL under a star-section
+    Disallow is blocked; agent-specific sections are ignored for '*'."""
+    from spiders_for_all_spark.operators.politeness import (
+        robots_gate,
+        robots_table_from_bodies,
+    )
+
+    body = (
+        "User-agent: googlebot\nDisallow: /everything\n\n"
+        "User-agent: *\nDisallow: /private\nCrawl-delay: 2\nDisallow: /tmp\n"
+    )
+    robots = robots_table_from_bodies(
+        spark.createDataFrame([("h.example.com", body)], "host string, body string")
+    )
+    row = robots.collect()[0]
+    assert row["disallow"] == ["/private", "/tmp"]  # file order kept
+    assert row["crawl_delay"] == 2.0
+
+    fr = spark.createDataFrame(
+        [
+            ("h.example.com", "https://h.example.com/private/x"),
+            ("h.example.com", "https://h.example.com/everything"),  # gbot-only
+            ("h.example.com", "https://h.example.com/ok"),
+        ],
+        "host string, canonical_url string",
+    )
+    kept = {r["canonical_url"] for r in robots_gate(fr, robots).collect()}
+    assert kept == {
+        "https://h.example.com/everything",
+        "https://h.example.com/ok",
+    }
+
+
 def test_per_host_salting_is_result_invariant(spark):
     """Adaptive skew handling: a host_budget row with salt_n>1 routes ONLY
     that host through the two-phase pre-rank; the scheduled set is

@@ -183,8 +183,12 @@ def crawl_round_commit_throughput(spark: SparkSession) -> tuple[float, int]:
         storage.commit("frontier", fr)
         for t in ("seen", "fetch_log", "documents"):
             storage.commit(t, storage.empty(t))
+        # same SALT_N rationale as the pipeline round: budget admits ~the
+        # full candidate set, so the salted pre-rank would prune nothing
+        # and only add a full extra shuffle+sort (the salted path is
+        # golden-tested; SPARK_GRAFT_SALT_N exercises it here)
         cfg = CrawlConfig(
-            default_budget=max(n // N_HOSTS, 1), salt_n=4, max_depth=0,
+            default_budget=max(n // N_HOSTS, 1), salt_n=SALT_N, max_depth=0,
             max_rounds=2,
         )
         crawler = Crawler(spark, storage, ProceduralFetcher(), cfg)

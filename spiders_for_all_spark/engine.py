@@ -353,11 +353,27 @@ class Crawler:
         remainder = frontier.join(
             parsed.select("url_hash"), on="url_hash", how="left_anti"
         )
-        next_frontier = (
-            FR.dedup_frontier(remainder.unionByName(succ).unionByName(retries))
-            .join(seen_delta.select("url_hash"), on="url_hash", how="left_anti")
-            .join(seen.select("url_hash"), on="url_hash", how="left_anti")
-        )
+        nf = FR.dedup_frontier(
+            remainder.unionByName(succ).unionByName(retries)
+        ).join(seen_delta.select("url_hash"), on="url_hash", how="left_anti")
+        # the "minus old seen" leg goes through the SAME prefilter family as
+        # the candidates anti-join: without it, this one join would still
+        # shuffle the full 10^10-row seen set every round even with the
+        # bloom/cuckoo paths on (the filters are row-identical to the exact
+        # join, so the frontier is unchanged — golden-tested)
+        if cfg.use_cuckoo:
+            next_frontier = D.seen_anti_join_cuckoo(nf, seen, cuckoo, cfg.n_buckets)
+        elif cfg.use_bloom:
+            if cfg.bloom_partitioned:
+                next_frontier = D.seen_anti_join_bloom_partitioned(
+                    nf, seen, bloom, cfg.n_buckets
+                )
+            else:
+                next_frontier = D.seen_anti_join_bloom(nf, seen, bloom, cfg.n_buckets)
+        else:
+            next_frontier = nf.join(
+                seen.select("url_hash"), on="url_hash", how="left_anti"
+            )
         staged_frontier = storage.stage_overwrite("frontier", next_frontier)
 
         # 11. ONE atomic catalog flip commits the whole round: a crash

@@ -840,6 +840,82 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(d)
 
 
+# ---------------------------------------------------------------------------
+# A1/A5 metrics over a derived fetch_log (documents re-interpreted as fetch
+# lineage rows so the oracle stays pure SQL on the shared parquet)
+
+_FETCHLOG_SQL = """
+    SELECT 'https://' || source || '.example.com/doc?id=' || doc_id AS url,
+           source AS host,
+           CAST(doc_id % 7 AS INT) AS round,
+           CASE WHEN doc_id % 11 = 0 THEN 'HTTP 503'
+                WHEN doc_id % 13 = 0 THEN 'ParseError: malformed body'
+                ELSE NULL END AS error,
+           doc_id % 23 = 0 AS dead_letter,
+           CAST(n_chars % 400 AS INT) AS latency_ms,
+           CAST(doc_id % 8 AS INT) AS partition_id
+    FROM documents
+"""
+
+
+def _fetchlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/doc?id="), F.col("doc_id"),
+        ).alias("url"),
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 7).cast("int").alias("round"),
+        F.when(F.col("doc_id") % 11 == 0, "HTTP 503")
+        .when(F.col("doc_id") % 13 == 0, "ParseError: malformed body")
+        .alias("error"),
+        (F.col("doc_id") % 23 == 0).alias("dead_letter"),
+        (F.col("n_chars") % 400).cast("int").alias("latency_ms"),
+        (F.col("doc_id") % 8).cast("int").alias("partition_id"),
+    )
+
+
+@_register(
+    "a1_round_metrics",
+    f"""
+    WITH log AS ({_FETCHLOG_SQL})
+    SELECT round, count(*) AS fetched,
+           sum(CASE WHEN error IS NULL THEN 1 ELSE 0 END) AS ok,
+           sum(CASE WHEN error IS NULL THEN 0 ELSE 1 END) AS failed,
+           sum(CASE WHEN dead_letter THEN 1 ELSE 0 END) AS dead_lettered,
+           round(avg(latency_ms), 3) AS avg_latency_ms,
+           count(DISTINCT partition_id) AS n_partitions
+    FROM log GROUP BY round
+    """,
+)
+def a1_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — success/failure counters as queryable per-round aggregations
+    (reference keeps in-memory tallies: core/downloader.py:501-502)."""
+    from spiders_for_all_spark.operators.metrics import round_metrics
+
+    return round_metrics(_fetchlog(spark, sf_dir))
+
+
+@_register(
+    "a5_politeness_pacing",
+    f"""
+    WITH log AS ({_FETCHLOG_SQL})
+    SELECT round, host || '.example.com' AS host, count(*) AS fetched,
+           round(count(*) / 10.0, 6) AS urls_per_host_sec
+    FROM log GROUP BY round, host
+    """,
+)
+def a5_politeness_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — per-(round, host) fan-out count + achieved pacing rate at a
+    10 s round cadence (the budget-vs-rate check; BASELINE.md row 3)."""
+    from spiders_for_all_spark.operators.metrics import politeness_pacing
+
+    return politeness_pacing(
+        _fetchlog(spark, sf_dir).drop("host"), round_seconds=10.0
+    )
+
+
 _ROBOTS_BODY_SQL = """
     'User-agent: googlebot' || chr(10) ||
     'Disallow: /gbot-only' || chr(10) ||

@@ -325,6 +325,60 @@ def test_long_crawl_warehouse_stays_bounded(spark, world, tmp_path):
     assert storage.read("fetch_log").count() == sum(r.scheduled for r in stats.rounds)
 
 
+def test_mor_equals_cow_on_random_merge_sequences(spark, tmp_path):
+    """Property: a sequence of merge-on-read commits resolves to EXACTLY
+    what the same sequence of copy-on-write merges produces — same rows,
+    same latest spans, same kept create_at — across overlapping key sets
+    (randomized batches, fixed seed for reproducibility)."""
+    import random
+
+    rng = random.Random(1234)
+    batches = []
+    for b in range(6):
+        keys = rng.sample(range(60), rng.randint(1, 25))
+        stamp = f"2026-0{b + 1}-01 00:00:00"
+        batches.append((keys, f"v{b}", stamp))
+
+    def apply(strategy, sub):
+        st = SnapshotStorage(spark, str(tmp_path / sub))
+        for keys, tag, stamp in batches:
+            df = spark.createDataFrame(
+                [(f"doc{k}",) for k in keys], "doc_id string"
+            ).select(
+                "doc_id",
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.concat(F.lit(tag + ":"), F.col("doc_id")).alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        F.lit(0).alias("offset"),
+                    )
+                ).alias("spans"),
+                F.lit(stamp).cast("timestamp").alias("create_at"),
+                F.lit(stamp).cast("timestamp").alias("update_at"),
+            )
+            st.merge_upsert("documents", df, key="doc_id", n_buckets=8,
+                            keep_on_match=["create_at"], strategy=strategy)
+        return sorted(
+            (r["doc_id"], r["spans"][0]["text"], str(r["create_at"]),
+             str(r["update_at"]))
+            for r in st.read("documents").collect()
+        )
+
+    assert apply("mor", "wh_mor") == apply("cow", "wh_cow")
+
+    # and MoR stays equal to itself after compaction folds the deltas
+    st = SnapshotStorage(spark, str(tmp_path / "wh_mor"))
+    before = sorted(
+        (r["doc_id"], r["spans"][0]["text"]) for r in st.read("documents").collect()
+    )
+    st.compact("documents")
+    after = sorted(
+        (r["doc_id"], r["spans"][0]["text"]) for r in st.read("documents").collect()
+    )
+    assert before == after
+
+
 def test_snapshot_dir_bytes_stay_bounded(spark, world, tmp_path):
     """The per-round write volume must not grow with history size: the last
     fetch_log delta dir is not larger than the first (same-shaped rounds)."""

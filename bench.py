@@ -180,7 +180,7 @@ def crawl_round_commit_throughput(spark: SparkSession) -> tuple[float, int]:
         "SPARK_GRAFT_WH_DIR",
         "/dev/shm" if os.path.isdir("/dev/shm") else None,
     )
-    for _ in range(max(BENCH_REPS - 1, 1)):
+    for _ in range(BENCH_REPS):
         wh = tempfile.mkdtemp(prefix="sfas_bench_wh_", dir=wh_base)
         storage = SnapshotStorage(spark, wh)
         fr = normalize_frontier(

@@ -19,7 +19,12 @@ def round_metrics(fetch_log: DataFrame) -> DataFrame:
         F.sum(ok.cast("int")).alias("ok"),
         F.sum((~ok).cast("int")).alias("failed"),
         F.sum(F.col("dead_letter").cast("int")).alias("dead_lettered"),
-        F.round(F.avg("latency_ms"), 3).alias("avg_latency_ms"),
+        # Integer micro-units: round(avg, 3) as a double hashes differently
+        # between Spark (BigDecimal HALF_UP) and DuckDB in the last ulp;
+        # integers hash identically everywhere (CORRECTNESS_r03 a1 fix).
+        F.round(F.avg("latency_ms") * 1000)
+        .cast("bigint")
+        .alias("avg_latency_us"),
         F.countDistinct("partition_id").alias("n_partitions"),
     )
 
@@ -30,7 +35,9 @@ def partition_metrics(fetch_log: DataFrame) -> DataFrame:
     return fetch_log.groupBy("round", "partition_id").agg(
         F.count("*").alias("fetched"),
         F.sum(F.col("error").isNull().cast("int")).alias("ok"),
-        F.round(F.avg("latency_ms"), 3).alias("avg_latency_ms"),
+        F.round(F.avg("latency_ms") * 1000)
+        .cast("bigint")
+        .alias("avg_latency_us"),
     )
 
 

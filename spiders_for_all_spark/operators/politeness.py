@@ -28,33 +28,62 @@ from pyspark.sql import functions as F
 ORDER_COLS = ["priority", "discovery_round", "canonical_url"]
 
 
-def parse_robots_txt(
-    df: DataFrame, host_col: str = "host", body_col: str = "body",
-    agent: str = "*",
-) -> DataFrame:
-    """robots.txt text -> one rule row per (host, Disallow path) for the
-    matching User-agent section, plus the section's Crawl-delay.
+_DIS_RE = r"(?i)^disallow:\s*(\S+)"
+_DELAY_RE = r"(?i)^crawl-delay:\s*([0-9.]+)"
 
-    Pure Catalyst: posexplode the lines, assign each line to its
-    User-agent section with a running count window, keep sections whose
-    agent matches.  Feeds :func:`robots_gate` after a groupBy collect
-    (see :func:`robots_table_from_bodies`).  The reference has no robots
-    support at all — this is north_star surface ("robots.txt gate").
+
+def _robots_matched_lines(
+    df: DataFrame, host_col: str, body_col: str, agent: str
+) -> DataFrame:
+    """Lines of the agent-matching robots group(s), one row per line.
+
+    RFC 9309 group semantics: CONSECUTIVE ``User-agent`` lines form ONE
+    group and the group's rules attach to every agent named in the run
+    ('User-agent: *' + 'User-agent: googlebot' stacked share the rules).
+    A section therefore starts only at a UA line whose predecessor is not
+    a UA line, and a section matches when ANY of its UA lines equals
+    ``agent``.  Multiple matching groups per host all contribute rows,
+    which is the RFC's "join the rules of groups" merge.
     """
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(body_col), "\n")).alias("i", "line"),
     ).withColumn("line", F.trim(F.regexp_replace("line", "#.*$", "")))
     ua = F.regexp_extract("line", r"(?i)^user-agent:\s*(\S+)", 1)
-    lines = lines.withColumn("ua", ua)
+    lines = lines.withColumn("_is_ua", (ua != "").cast("int")).withColumn(
+        "_ua", ua
+    )
     w = Window.partitionBy("host").orderBy("i")
-    sec = F.sum((F.col("ua") != "").cast("int")).over(w)
-    lines = lines.withColumn("section", sec)
+    new_sec = (
+        (F.col("_is_ua") == 1) & (F.lag("_is_ua", 1, 0).over(w) == 0)
+    ).cast("int")
+    lines = lines.withColumn("section", F.sum(new_sec).over(w))
     wsec = Window.partitionBy("host", "section")
-    lines = lines.withColumn("section_agent", F.max(F.col("ua")).over(wsec))
-    star = lines.filter(F.lower(F.col("section_agent")) == agent.lower())
-    dis = F.regexp_extract("line", r"(?i)^disallow:\s*(\S+)", 1)
-    delay = F.regexp_extract("line", r"(?i)^crawl-delay:\s*([0-9.]+)", 1)
+    matched = F.max(
+        (F.lower(F.col("_ua")) == agent.lower()).cast("int")
+    ).over(wsec)
+    return lines.withColumn("_m", matched).filter(
+        (F.col("_m") == 1) & (F.col("section") > 0)
+    ).drop("_is_ua", "_m")
+
+
+def parse_robots_txt(
+    df: DataFrame, host_col: str = "host", body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """robots.txt text -> one rule row per (host, Disallow path) for the
+    matching User-agent group(s), plus the host's Crawl-delay.
+
+    Pure Catalyst: posexplode the lines, assign each line to its
+    User-agent group with a lag+running-sum window (consecutive UA lines
+    = one group, per RFC 9309), keep groups naming ``agent``.  Feeds
+    :func:`robots_gate` after a groupBy collect (see
+    :func:`robots_table_from_bodies`).  The reference has no robots
+    support at all — this is north_star surface ("robots.txt gate").
+    """
+    star = _robots_matched_lines(df, host_col, body_col, agent)
+    dis = F.regexp_extract("line", _DIS_RE, 1)
+    delay = F.regexp_extract("line", _DELAY_RE, 1)
     rules = star.select(
         "host",
         F.col("i").alias("rule_idx"),
@@ -71,18 +100,35 @@ def robots_table_from_bodies(
     agent: str = "*",
 ) -> DataFrame:
     """Collapse parsed rules to the ROBOTS gate schema
-    (host, disallow array<string> in file order, crawl_delay)."""
-    rules = parse_robots_txt(df, host_col, body_col, agent)
+    (host, disallow array<string> in file order, crawl_delay).
+
+    crawl_delay is aggregated independently of the disallow rows, so a
+    host whose matching group has a Crawl-delay but no Disallow rules
+    still gets a robots row (empty disallow array) instead of vanishing.
+    """
+    star = _robots_matched_lines(df, host_col, body_col, agent)
+    dis = F.regexp_extract("line", _DIS_RE, 1)
+    delay = F.regexp_extract("line", _DELAY_RE, 1)
     return (
-        rules.groupBy("host")
+        star.groupBy("host")
         .agg(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("rule_idx"), F.col("path")))
+                    F.collect_list(
+                        F.when(
+                            dis != "",
+                            F.struct(
+                                F.col("i").alias("rule_idx"),
+                                dis.alias("path"),
+                            ),
+                        )
+                    )
                 ),
                 lambda s: s["path"],
             ).alias("disallow"),
-            F.max("crawl_delay").alias("crawl_delay"),
+            F.max(F.nullif(delay, F.lit("")).cast("double")).alias(
+                "crawl_delay"
+            ),
         )
     )
 

@@ -884,7 +884,7 @@ def _fetchlog(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN error IS NULL THEN 1 ELSE 0 END) AS ok,
            sum(CASE WHEN error IS NULL THEN 0 ELSE 1 END) AS failed,
            sum(CASE WHEN dead_letter THEN 1 ELSE 0 END) AS dead_lettered,
-           round(avg(latency_ms), 3) AS avg_latency_ms,
+           CAST(round(avg(latency_ms) * 1000) AS BIGINT) AS avg_latency_us,
            count(DISTINCT partition_id) AS n_partitions
     FROM log GROUP BY round
     """,
@@ -921,6 +921,7 @@ _ROBOTS_BODY_SQL = """
     'Disallow: /gbot-only' || chr(10) ||
     '# comment line' || chr(10) ||
     'User-agent: *' || chr(10) ||
+    'User-agent: bingbot' || chr(10) ||
     'Disallow: /' || host || chr(10) ||
     'Crawl-delay: ' || (length(host) % 3 + 1) || chr(10) ||
     'Disallow: /tmp' || chr(10)
@@ -939,14 +940,20 @@ _ROBOTS_BODY_SQL = """
     ua AS (SELECT host, i, line,
                   regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1) AS agent
            FROM lines),
-    secs AS (SELECT host, i, line, agent,
-                    sum(CASE WHEN agent <> '' THEN 1 ELSE 0 END)
-                        OVER (PARTITION BY host ORDER BY i) AS section
+    flag AS (SELECT host, i, line, agent,
+                    CASE WHEN agent <> '' AND coalesce(
+                             lag(agent <> '') OVER (PARTITION BY host ORDER BY i),
+                             false) = false
+                         THEN 1 ELSE 0 END AS new_sec
              FROM ua),
+    secs AS (SELECT host, i, line, agent,
+                    sum(new_sec) OVER (PARTITION BY host ORDER BY i) AS section
+             FROM flag),
     named AS (SELECT host, i, line, section,
-                     max(agent) OVER (PARTITION BY host, section) AS section_agent
+                     max(CASE WHEN lower(agent) = '*' THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY host, section) AS m
               FROM secs),
-    star AS (SELECT * FROM named WHERE lower(section_agent) = '*'),
+    star AS (SELECT * FROM named WHERE m = 1 AND section > 0),
     delays AS (SELECT host,
                       max(TRY_CAST(nullif(regexp_extract(line, '(?i)^crawl-delay:\\s*([0-9.]+)', 1), '') AS DOUBLE)) AS crawl_delay
                FROM star GROUP BY host)
@@ -960,9 +967,11 @@ _ROBOTS_BODY_SQL = """
 def robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt parsing as pure Catalyst (posexplode + section windows):
     deterministic per-host robots bodies with an agent-specific section, a
-    comment, a wildcard section with two Disallow rules and a Crawl-delay —
-    parsed to one rule row per (host, path).  Feeds the round's robots
-    gate via politeness.robots_table_from_bodies."""
+    comment, a STACKED wildcard group ('User-agent: *' + 'User-agent:
+    bingbot' — RFC 9309 says consecutive UA lines share one rule group)
+    with two Disallow rules and a Crawl-delay — parsed to one rule row per
+    (host, path).  Feeds the round's robots gate via
+    politeness.robots_table_from_bodies."""
     from spiders_for_all_spark.operators.politeness import parse_robots_txt
 
     hosts = _t(spark, sf_dir, "documents").select(
@@ -970,7 +979,7 @@ def robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     body = F.concat(
         F.lit("User-agent: googlebot\nDisallow: /gbot-only\n# comment line\n"),
-        F.lit("User-agent: *\nDisallow: /"),
+        F.lit("User-agent: *\nUser-agent: bingbot\nDisallow: /"),
         F.col("host"),
         F.lit("\nCrawl-delay: "),
         (F.length("host") % 3 + 1).cast("string"),

@@ -373,9 +373,20 @@ class SnapshotStorage:
         else:
             # files-layout history (e.g. the bootstrap empty overwrite):
             # its dirs become the lowest-seq deltas — each commit was a
-            # key-unique full state, so in-order resolution is exact
+            # key-unique full state, so in-order resolution is exact.
+            # Only a SINGLE-dir layout is convertible: a multi-dir files
+            # manifest may have been reordered by compact()'s fold, so its
+            # list order is not reliably commit order (ADVICE r03).
+            files = list(prev_manifest.get("files", []))
+            if len(files) > 1:
+                raise ValueError(
+                    f"mor merge on multi-dir files-layout table {table!r}: "
+                    "list order is not a reliable commit order — compact() "
+                    "to a single dir first, or bootstrap MoR tables from "
+                    "one overwrite"
+                )
             base_buckets = {}
-            deltas = list(prev_manifest.get("files", []))
+            deltas = files
         snap = self._next_snap(table)
         source.write.mode("overwrite").parquet(self._data_dir(table, snap))
         manifest = {
@@ -559,18 +570,17 @@ class SnapshotStorage:
         )
         # keep every dir strictly bigger than 2x the sum of all smaller
         # dirs (geometric bases); fold the rest into one new dir
-        keep: list[str] = []
         i = 0
         while i < len(sized) - 1:
             smaller = sum(s for s, _ in sized[i + 1 :])
             if sized[i][0] > 2 * smaller:
-                keep.append(sized[i][1])
                 i += 1
             else:
                 break
-        fold = [r for _, r in sized[i:]]
-        if len(fold) <= 1:
+        fold_set = {r for _, r in sized[i:]}
+        if len(fold_set) <= 1:
             return snap
+        fold = [r for r in dirs if r in fold_set]
         folded = self.spark.read.schema(TABLE_SCHEMAS[table]).parquet(
             *[os.path.join(base, r) for r in fold]
         )
@@ -579,7 +589,12 @@ class SnapshotStorage:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._data_dir(table, new_snap))
-        files = keep + [self._data_dir(table, new_snap, rel=True)]
+        # kept dirs stay in their ORIGINAL manifest positions (commit
+        # order), folded dir appended — list order stays meaningful for
+        # any consumer that treats it as commit order (ADVICE r03)
+        files = [r for r in dirs if r not in fold_set] + [
+            self._data_dir(table, new_snap, rel=True)
+        ]
         staged = self._stage_manifest(table, new_snap, {"files": files})
         self.commit_multi([staged])
         return new_snap

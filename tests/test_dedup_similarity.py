@@ -45,6 +45,45 @@ def test_connected_components_clusters(spark):
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir set, lineage truncation uses reliable
+    checkpoint() (survives executor loss on a real cluster) and results
+    are unchanged; the dir is restored afterwards so other tests keep the
+    localCheckpoint default."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("e", "f"), ("c", "d")],
+            "a string, b string",
+        )
+        out = {
+            r["doc_id"]: r["component"]
+            for r in TD.connected_components(
+                pairs, checkpoint_every=1
+            ).collect()
+        }
+        assert out == {
+            "a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"
+        }
+        import os
+
+        assert os.listdir(str(tmp_path / "ckpt")), "checkpoint dir unused"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
+
+
+def test_connected_components_warns_on_non_convergence(spark):
+    """Diameter > max_iter must WARN, not silently return split labels
+    (min-label propagation advances one hop per round)."""
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    pairs = spark.createDataFrame(chain, "a string, b string")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        TD.connected_components(pairs, max_iter=2)
+
+
 def test_minhash_dup_clusters(docs):
     out = {r["doc_id"]: r["component"] for r in TD.minhash_dup_clusters(docs).collect()}
     # d1/d2/d5 exact-dup family (+ d3 near dup) share one component, rep=d1

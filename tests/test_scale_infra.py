@@ -299,6 +299,39 @@ def test_robots_parser_feeds_gate(spark):
     }
 
 
+def test_robots_stacked_agents_and_delay_only(spark):
+    """RFC 9309 group semantics: consecutive User-agent lines form ONE
+    group ('*' stacked with another agent keeps the rules), and a host
+    whose '*' group has only a Crawl-delay still gets a robots row."""
+    from spiders_for_all_spark.operators.politeness import (
+        robots_table_from_bodies,
+    )
+
+    stacked = (
+        "User-agent: *\nUser-agent: googlebot\n"
+        "Disallow: /x\nCrawl-delay: 3\n"
+    )
+    delay_only = "User-agent: *\nCrawl-delay: 7\n"
+    other_agent = "User-agent: googlebot\nDisallow: /g\n"
+    robots = robots_table_from_bodies(
+        spark.createDataFrame(
+            [
+                ("stacked.example.com", stacked),
+                ("delayonly.example.com", delay_only),
+                ("other.example.com", other_agent),
+            ],
+            "host string, body string",
+        )
+    )
+    rows = {r["host"]: r for r in robots.collect()}
+    assert rows["stacked.example.com"]["disallow"] == ["/x"]
+    assert rows["stacked.example.com"]["crawl_delay"] == 3.0
+    assert rows["delayonly.example.com"]["disallow"] == []
+    assert rows["delayonly.example.com"]["crawl_delay"] == 7.0
+    # no '*' group at all -> no row
+    assert "other.example.com" not in rows
+
+
 def test_per_host_salting_is_result_invariant(spark):
     """Adaptive skew handling: a host_budget row with salt_n>1 routes ONLY
     that host through the two-phase pre-rank; the scheduled set is

@@ -414,6 +414,59 @@ def build_cuckoo(
     return bucketed.groupBy("bucket").applyInPandas(agg, schema=CUCKOO_SCHEMA)
 
 
+def cuckoo_insert(
+    cuckoo: DataFrame,
+    additions: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    capacity_per_bucket: int = 10_000,
+) -> DataFrame:
+    """Bulk-insert url_hashes into the per-bucket filters — the O(delta)
+    incremental-maintenance path (mirrors ``merge_blooms`` for the bloom).
+
+    Cogrouped applyInPandas: each bucket's filter meets only its own
+    additions; untouched buckets pass through by reference.  A bucket with
+    additions but no filter yet gets a fresh one (first rows ever hashed
+    there).  If an insert cannot be placed (the fixed-size table is past
+    its design load between rebuilds), the bucket is flagged
+    ``overflowed`` so the probe exact-confirms its whole slice — an
+    overflow can degrade speed, never correctness.  Resizing happens only
+    at the periodic compaction rebuild (:func:`build_cuckoo`).
+    """
+    adds = with_bucket(additions.select("url_hash"), n_buckets)
+
+    def apply_ins(filters: pd.DataFrame, toadd: pd.DataFrame) -> pd.DataFrame:
+        if len(filters) == 0:
+            if len(toadd) == 0:
+                return pd.DataFrame(
+                    columns=["bucket", "capacity", "table", "overflowed"]
+                )
+            cap = max(capacity_per_bucket, len(toadd))
+            f = CuckooFilter(cap)
+            ok = f.bulk_insert(toadd["url_hash"].to_numpy(np.int64))
+            return pd.DataFrame(
+                {
+                    "bucket": [int(toadd["bucket"].iloc[0])],
+                    "capacity": [cap],
+                    "table": [f.to_bytes()],
+                    "overflowed": [not ok],
+                }
+            )
+        if len(toadd):
+            f = CuckooFilter.from_bytes(bytes(filters["table"].iloc[0]))
+            ok = f.bulk_insert(toadd["url_hash"].to_numpy(np.int64))
+            filters = filters.assign(
+                table=[f.to_bytes()],
+                overflowed=[bool(filters["overflowed"].iloc[0]) or not ok],
+            )
+        return filters
+
+    return (
+        cuckoo.groupby("bucket")
+        .cogroup(adds.groupby("bucket"))
+        .applyInPandas(apply_ins, schema=CUCKOO_SCHEMA)
+    )
+
+
 def cuckoo_delete(cuckoo: DataFrame, deletions: DataFrame,
                   n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """Remove url_hashes from the per-bucket filters (re-crawl eviction).

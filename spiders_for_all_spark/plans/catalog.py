@@ -692,6 +692,34 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_brute_force_topk_batch",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id IN (1, 2, 3)),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_COS_SQL.format(a='e.embedding', b='q.q_vec')} AS cos
+      FROM embeddings e, q),
+    ranked AS (
+      SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+    SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_brute_force_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-ANN (the production access pattern): broadcast a small query
+    set against the embedding table, exact cosine, window top-k PER query
+    — one scan of the big side serves every query (similarity.py:37)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return SIM.brute_force_topk_per_query(emb, queries, k=5)
+
+
 def _ann_lsh_oracle() -> str:
     # query bucket + 1-bit multiprobe neighborhoods computed SQL-side from
     # the same md5 coefficient constants

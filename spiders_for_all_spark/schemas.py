@@ -137,6 +137,22 @@ BLOOM = T.StructType(
     ]
 )
 
+# Persisted per-bucket cuckoo filters over the seen set (the deletable
+# twin of BLOOM), maintained INCREMENTALLY: the round's seen delta is
+# bulk-inserted cogrouped (O(delta)/round), evict() deletes fingerprints
+# in the same flip as its tombstones, and a full rebuild+resize happens
+# only at compaction.  A bucket whose fixed-size table overflows is
+# flagged and its probes route to the exact confirm — never a false
+# negative.
+CUCKOO = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("capacity", T.IntegerType(), False),
+        T.StructField("table", T.BinaryType(), False),
+        T.StructField("overflowed", T.BooleanType(), False),
+    ]
+)
+
 # Re-crawl eviction tombstones: url_hashes logically deleted from the seen
 # set (cuckoo-filter deletions at probe time).  Rows are removed again the
 # moment the URL is re-fetched (its hash re-enters seen) — the table stays

@@ -61,6 +61,7 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "media_meta": S.MEDIA_META,
     "evicted": S.EVICTED,
     "bloom": S.BLOOM,
+    "cuckoo": S.CUCKOO,
 }
 
 MERGE_BUCKETS = 64  # bucket(key) partition spec for merge tables

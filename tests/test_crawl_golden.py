@@ -259,6 +259,106 @@ def test_crawl_cuckoo_path_identical(spark, world, tmp_path):
     assert a == b
 
 
+def test_cuckoo_incremental_no_full_rebuild(spark, world, tmp_path, monkeypatch):
+    """Steady-state cuckoo rounds must NOT rebuild the filter from the full
+    seen set: build_cuckoo runs at most once (the bootstrap, before any
+    'cuckoo' table exists); every later round reads the committed filter
+    and bulk-inserts only the round's seen delta (O(delta)/round)."""
+    from spiders_for_all_spark import engine as ENG
+
+    calls: list[int] = []
+    orig = ENG.D.build_cuckoo
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ENG.D, "build_cuckoo", counting)
+    storage, stats = run_engine(
+        spark, world, tmp_path / "cuckoo_inc", budget=2, use_cuckoo=True
+    )
+    assert len(stats.rounds) >= 3, "need a multi-round crawl to prove it"
+    assert len(calls) <= 1, f"full filter rebuild ran {len(calls)} times"
+    assert storage.latest_snapshot("cuckoo") is not None
+
+
+def test_cuckoo_with_compaction_identical(spark, world, tmp_path):
+    """The periodic compaction rebuild (resize from the live seen set)
+    slots into a running cuckoo crawl without changing a single fetch, and
+    leaves no overflowed buckets."""
+    ref_storage, _ = run_engine(spark, world, tmp_path / "ckc_ref", budget=2)
+    storage = SnapshotStorage(spark, str(tmp_path / "ckc"))
+    cfg = CrawlConfig(
+        max_rounds=40, default_budget=2, max_depth=3, use_cuckoo=True,
+        n_buckets=8, cuckoo_capacity_per_bucket=64, compact_every=3,
+        expire_keep_last=2,
+    )
+    c = Crawler(
+        spark, storage, SyntheticFetcher(world["site_path"], partitions=4), cfg
+    )
+    c.run(seeds=world["seeds"])
+    a = sorted((r["round"], r["url"]) for r in storage.read("fetch_log").collect())
+    b = sorted((r["round"], r["url"]) for r in ref_storage.read("fetch_log").collect())
+    assert a == b
+    ck = storage.read("cuckoo").collect()
+    assert ck and not any(r["overflowed"] for r in ck)
+
+
+def test_evict_mid_crawl_preserves_pending(spark, world, tmp_path):
+    """evict() between rounds of a LIVE crawl (frontier non-empty, retries
+    pending) must preserve every pending frontier row, and a crash between
+    the evict commit and the next round must resume to the same final
+    crawl as an uninterrupted run (plus exactly one extra fetch of the
+    evicted URL)."""
+    from collections import Counter
+
+    ref_storage, _ = run_engine(
+        spark, world, tmp_path / "evict_ref", budget=2, use_cuckoo=True
+    )
+    ref_fetches = Counter(
+        r["url"] for r in ref_storage.read("fetch_log").collect()
+    )
+
+    storage = SnapshotStorage(spark, str(tmp_path / "evict_mid"))
+    cfg = CrawlConfig(
+        max_rounds=40, default_budget=2, max_depth=3, use_cuckoo=True,
+        n_buckets=8, cuckoo_capacity_per_bucket=64,
+    )
+    fetcher = SyntheticFetcher(world["site_path"], partitions=4)
+    c = Crawler(spark, storage, fetcher, cfg)
+    c.run(seeds=world["seeds"], max_rounds=2)
+    pending = {
+        r["url_hash"] for r in storage.read("frontier").collect()
+    }
+    assert pending, "crawl must still be mid-flight for this test"
+
+    fetched_once = sorted(
+        r["url"]
+        for r in storage.read("fetch_log")
+        .filter(F.col("error").isNull())
+        .collect()
+    )
+    url = fetched_once[0]
+    c.evict([url])
+    after_evict = {
+        r["url_hash"] for r in storage.read("frontier").collect()
+    }
+    assert pending <= after_evict, "evict dropped pending frontier rows"
+    assert len(after_evict) == len(pending) + 1
+
+    # crash here: a FRESH crawler over the same warehouse is the resume
+    c2 = Crawler(
+        spark, storage,
+        SyntheticFetcher(world["site_path"], partitions=4), cfg,
+    )
+    c2.run()
+    fetches = Counter(r["url"] for r in storage.read("fetch_log").collect())
+    expected = Counter(ref_fetches)
+    expected[url] += 1
+    assert fetches == expected
+    assert storage.read("evicted").count() == 0
+
+
 def test_evict_recrawls_url(spark, world, tmp_path):
     """North-star re-crawl eviction: evict() logically deletes a fetched URL
     from the seen set (cuckoo deletion + tombstone) and re-enqueues it; the

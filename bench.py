@@ -227,7 +227,16 @@ def timed_noop_write(df) -> float:
     return time.monotonic() - t0
 
 
+def _steal_ticks() -> int:
+    """Hypervisor steal from /proc/stat (USER_HZ) — 0 if unreadable."""
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except Exception:
+        return 0
+
+
 def main() -> None:
+    steal0 = _steal_ticks()
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     from spiders_for_all_spark.submit import attach
@@ -298,6 +307,10 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
                 "frontier_n": FRONTIER_N,
+                # window-quality signal: hypervisor steal (CPU-s) over the
+                # whole bench — co-tenant bursts explain slow outliers
+                # (see BASELINE.md scaling section)
+                "steal_s": round((_steal_ticks() - steal0) / 100.0, 1),
             }
         )
     )

@@ -287,6 +287,121 @@ def connected_components(
     return labels.select(F.col("x").alias("doc_id"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(doc_id, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm).
+
+    Converges in O(log² n) rounds worst-case and ~log(diameter) in
+    practice, vs one hop per round for min-label propagation
+    (:func:`connected_components`) — the right variant when LSH candidate
+    graphs form long chains.  Each half-round is ONE partial-aggregatable
+    groupBy (min per node) plus an explode — no driver-side graph state.
+
+    * large-star: every node u links each STRICTLY-GREATER neighbor to
+      m = min(N(u) ∪ {u}) — long tails collapse toward small ids.
+    * small-star: every node u links each ≤ neighbor (and itself) to m —
+      stars flatten.
+
+    Termination: star graphs are the fixpoint of both operations, so the
+    loop stops when a full (large, small) round leaves the edge SET
+    unchanged (symmetric difference empty — per-node-min stability alone
+    can hold one round before information finishes propagating).
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).filter(F.col("u") != F.col("v")).distinct()
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct()
+
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # Γ(u) is the UNDIRECTED neighborhood: star outputs are directed
+        # (node -> its min), so re-symmetrize before grouping — without
+        # this, a center whose edges all point away sees Γ = ∅ and its
+        # component information is lost after one round.  Symmetrization
+        # is an explode of both orientations (NOT a self-union: a Union
+        # whose children share attribute ids trips Catalyst's constraint
+        # rewrite under checkpoint, and the explode is one pass anyway).
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("p")
+        ).select("p.u", "p.v").distinct()
+        grouped = e.groupBy("u").agg(
+            F.array_min(
+                F.array_union(F.collect_set("v"), F.array(F.col("u")))
+            ).alias("m"),
+            F.collect_set("v").alias("nbrs"),
+        )
+        nbr = F.explode("nbrs")
+        out = grouped.select("u", "m", nbr.alias("v"))
+        keep = (F.col("v") > F.col("u")) if large else (F.col("v") <= F.col("u"))
+        linked = out.filter(keep).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        if not large:
+            linked = linked.unionByName(
+                grouped.select("u", F.col("m").alias("v"))
+            )
+        return linked.filter(F.col("u") != F.col("v")).distinct()
+
+    converged = False
+    for i in range(max_iter):
+        new_edges = star(star(edges, large=True), large=False)
+        if (i + 1) % checkpoint_every == 0:
+            # default every round: the convergence count below and the next
+            # round's stars would otherwise each recompute the whole
+            # un-truncated lineage (2x work per round, growing plans)
+            new_edges = _truncate(new_edges)
+        # symmetric difference of two distinct edge sets: a pair seen once
+        # in the union lives in exactly one of them
+        changed = (
+            new_edges.unionByName(edges)
+            .groupBy("u", "v")
+            .count()
+            .filter(F.col("count") == 1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not stabilize in {max_iter} "
+            "rounds: components may be split — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    labels = edges.groupBy("u").agg(F.min("v").alias("component"))
+    # component representatives point at themselves; isolated pair minima
+    # appear only on the v side, so re-attach them from the node set
+    return nodes.join(
+        labels.withColumnRenamed("u", "doc_id"), on="doc_id", how="left"
+    ).select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("component")
+    )
+
+
 def minhash_dup_clusters(
     df: DataFrame,
     text_col: str = "text",

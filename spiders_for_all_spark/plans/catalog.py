@@ -606,6 +606,30 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_minhash_clusters_star",
+    _MINHASH_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    nodes AS (SELECT a AS n FROM pairs UNION SELECT b FROM pairs),
+    edges AS (SELECT a AS x, b AS y FROM pairs
+              UNION SELECT b, a FROM pairs
+              UNION SELECT n, n FROM nodes),
+    reach AS (SELECT x, y FROM edges
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x)
+    SELECT x AS doc_id, min(y) AS component FROM reach GROUP BY x
+    """,
+)
+def dedup_minhash_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters via alternating large-star/small-star (Kiveris et al.
+    SoCC'14) — O(log diameter) rounds instead of one hop per round, the
+    variant for pathological LSH chain graphs.  Same recursive-CTE oracle
+    as the min-label entry: both must produce identical components."""
+    return TD.connected_components_star(
+        TD.minhash_candidate_pairs(_docs(spark, sf_dir))
+    )
+
+
+@_register(
     "dedup_simhash",
     f"""
     WITH {_SHINGLES_SQL},

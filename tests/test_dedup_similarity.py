@@ -84,6 +84,43 @@ def test_connected_components_warns_on_non_convergence(spark):
         TD.connected_components(pairs, max_iter=2)
 
 
+def test_connected_components_star_matches_min_label(spark):
+    """Large-star/small-star CC must produce the same components as
+    min-label propagation on a random graph (fixed seed), and converge on
+    a DEEP chain within O(log diameter) rounds where one-hop propagation
+    would need the full diameter."""
+    import random
+    import warnings
+
+    rng = random.Random(42)
+    rand_pairs = [
+        (f"n{rng.randrange(60):02d}", f"n{rng.randrange(60):02d}")
+        for _ in range(80)
+    ]
+    rand_pairs = [(a, b) for a, b in rand_pairs if a != b]
+    pdf = spark.createDataFrame(rand_pairs, "a string, b string")
+    ref = {
+        r["doc_id"]: r["component"]
+        for r in TD.connected_components(pdf, max_iter=60).collect()
+    }
+    got = {
+        r["doc_id"]: r["component"]
+        for r in TD.connected_components_star(pdf).collect()
+    }
+    assert got == ref
+
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(64)]
+    cdf = spark.createDataFrame(chain, "a string, b string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # must NOT warn
+        out = {
+            r["doc_id"]: r["component"]
+            for r in TD.connected_components_star(cdf, max_iter=12).collect()
+        }
+    assert set(out.values()) == {"c000"}
+    assert len(out) == 65
+
+
 def test_minhash_dup_clusters(docs):
     out = {r["doc_id"]: r["component"] for r in TD.minhash_dup_clusters(docs).collect()}
     # d1/d2/d5 exact-dup family (+ d3 near dup) share one component, rep=d1

@@ -232,6 +232,44 @@ def _crawl(spark, world, tmp, cfg, robots=None, host_budget=None):
     return storage, stats
 
 
+def test_cuckoo_insert_incremental_and_overflow(spark, hashes, frontier_like):
+    """Incremental maintenance: build over half the seen set, bulk-insert
+    the other half cogrouped — the probe must equal the exact anti-join
+    over the full set.  Forcing inserts past the fixed table's design load
+    flags the bucket `overflowed`, which routes its probes to the exact
+    confirm — still row-identical, never a false negative."""
+    first = hashes.limit(250)
+    rest = hashes.join(first, on="url_hash", how="left_anti")
+    base = D.build_cuckoo(first, n_buckets=8, capacity_per_bucket=4)
+    merged = D.cuckoo_insert(base, rest, n_buckets=8, capacity_per_bucket=4)
+    got = sorted(
+        r["url"]
+        for r in D.seen_anti_join_cuckoo(
+            frontier_like, hashes, merged, n_buckets=8
+        ).collect()
+    )
+    want = sorted(
+        r["url"] for r in D.seen_anti_join(frontier_like, hashes).collect()
+    )
+    assert got == want
+    assert len(want) == 500
+    # tiny capacity + doubled load -> at least one bucket had to overflow
+    assert any(r["overflowed"] for r in merged.collect())
+
+    # inserts into buckets with NO existing filter row create fresh filters
+    fresh = D.cuckoo_insert(
+        D.build_cuckoo(hashes.limit(0), n_buckets=8), hashes,
+        n_buckets=8, capacity_per_bucket=128,
+    )
+    got2 = sorted(
+        r["url"]
+        for r in D.seen_anti_join_cuckoo(
+            frontier_like, hashes, fresh, n_buckets=8
+        ).collect()
+    )
+    assert got2 == want
+
+
 def test_robots_gate_blocks_paths(spark, world, tmp_path):
     robots = spark.createDataFrame(
         [("h0.example.com", ["/api/comments"], 1.0)],

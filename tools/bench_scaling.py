@@ -54,11 +54,23 @@ def _probe_work(n: int) -> int:
     return s
 
 
+PIN = os.environ.get("SPARK_GRAFT_PIN", "") not in ("", "0")
+
+
 def probe_rate(nproc: int, total: int = 120_000_000) -> float:
     per = total // nproc
+    prev = None
+    if PIN:
+        # same affinity budget as the pinned Spark runs: children inherit
+        prev = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(nproc)))
     t0 = time.monotonic()
-    with mp.Pool(nproc) as pool:
-        pool.map(_probe_work, [per] * nproc, chunksize=1)
+    try:
+        with mp.Pool(nproc) as pool:
+            pool.map(_probe_work, [per] * nproc, chunksize=1)
+    finally:
+        if prev is not None:
+            os.sched_setaffinity(0, prev)
     return total / (time.monotonic() - t0)
 
 
@@ -97,10 +109,17 @@ def run_bench(cpus: int, frontier_n: int) -> dict | None:
         SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"),
     )
     timeout = int(os.environ.get("SPARK_GRAFT_RUN_TIMEOUT", "1200"))
+    # SPARK_GRAFT_PIN=1 confines each run (JVM + its Python workers) to
+    # exactly `cpus` host cores via taskset — the cluster-faithful budget.
+    # Unpinned local[N] lets the mapInPandas Python workers run BESIDE the
+    # N JVM task threads on extra host cores, so the narrow run overflows
+    # its nominal width (a cgroup-capped 4-core executor cannot) and the
+    # measured N->4N efficiency is biased LOW.
+    prefix = ["taskset", "-c", f"0-{cpus - 1}"] if PIN else []
     s0 = _steal_ticks()
     try:
         out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            prefix + [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
             capture_output=True,
             text=True,
@@ -183,7 +202,14 @@ mapInPandas -> Catalyst parse -> doc extraction) on the same
 {frontier_n:,}-URL synthetic frontier, fresh JVM per run, steady-state
 (untimed warm-up round, min of timed repetitions, no shuffle reuse),
 sizes interleaved A/B per round, best round per size (co-tenant
-interference only lowers a number).
+interference only lowers a number).{'''
+
+**Core-pinned protocol**: each run (JVM + its Python workers) is confined
+to exactly its nominal core count via taskset, and the host probe uses the
+same affinity budget.  Unpinned local[N] lets mapInPandas Python workers
+run beside the N JVM task threads on extra host cores — a narrow run
+overflows its nominal width (which a cgroup-capped N-core cluster executor
+cannot), biasing measured N->4N efficiency low.''' if PIN else ''}
 
 **Host ceiling**: the sandbox is a KVM guest with 32 vCPUs that are not
 dedicated cores — under full-width load /proc/stat shows hypervisor steal

@@ -110,6 +110,133 @@ def lsh_ann_topk(
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine, rounded like cosine_rounded (6 dp) so probe
+    selection ties break identically to the Catalyst/DuckDB sides."""
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(dot / (na * nb), 6) if na and nb else 0.0
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add the IVF list id: nearest centroid by cosine (ties -> lowest
+    cid).  Pure Catalyst — one (cos, -cid) struct per centroid, array_max
+    picks the argmax; no shuffle, no UDF.  Centroid count is small (the
+    classic IVF regime: k ~ sqrt(n) lists, each a broadcast-size literal).
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_rounded(
+                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
+                ).alias("cos"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return emb.withColumn("cid", (-best.getField("ncid")).cast("int"))
+
+
+def ivf_probe_lists(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int = 2
+) -> list[int]:
+    """The nprobe nearest centroid ids for a query (driver-side: k is
+    tiny; ties -> lowest cid, matching ivf_assign)."""
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda cid: (-_cos_py(query_vec, centroids[cid]), cid),
+    )
+    return sorted(ranked[:nprobe])
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score ONLY vectors whose inverted list is
+    among the query's nprobe nearest centroids — the coarse-quantizer
+    analog of the LSH path, with recall tuned by nprobe instead of
+    hyperplane count.  With `cid` as a materialized partition column
+    (:func:`materialize_ivf_lists`) the `cid IN (...)` filter prunes at
+    the scan."""
+    probes = ivf_probe_lists(query_vec, centroids, nprobe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cands = ivf_assign(emb, centroids, vec_col).filter(
+        F.col("cid").isin(*probes)
+    )
+    scored = cands.select(
+        F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train IVF centroids with Lloyd's iterations as plain DataFrame ops:
+    assign (ivf_assign, no shuffle) -> per-cid mean (one partial-agg
+    shuffle of k rows) -> collect k x dim floats (bounded driver state).
+    Deterministic init: the k lowest-id vectors.  Non-SQL-expressible
+    (iterative) — unit-tested rather than oracle-gated."""
+    init = (
+        emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(max_iter):
+        assigned = ivf_assign(emb, centroids, vec_col)
+        means = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col).getItem(i)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[int(r["cid"])] = [float(r[f"m{i}"]) for i in range(dim)]
+        if new == centroids:
+            break
+        centroids = new
+    return centroids
+
+
+def materialize_ivf_lists(
+    emb: DataFrame,
+    out_path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> str:
+    """Write the embedding table physically partitioned by IVF list id —
+    at 10^9 vectors the probe becomes an nprobe-of-k partition read
+    (PartitionFilters), like the LSH index build."""
+    ivf_assign(emb, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(out_path)
+    return out_path
+
+
 def materialize_lsh_buckets(
     emb: DataFrame,
     out_path: str,

@@ -775,6 +775,44 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+               FROM embeddings WHERE vec_id < 4),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1),
+    scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                      {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS ccos
+               FROM embeddings e, c),
+    assign AS (SELECT vec_id, embedding, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cid) AS rn
+               FROM scored),
+    probes AS (SELECT c.cid FROM c, q
+               ORDER BY {_COS_SQL.format(a='c.cvec', b='q.qv')} DESC, c.cid
+               LIMIT 2)
+    SELECT a.vec_id, {_COS_SQL.format(a='a.embedding', b='q.qv')} AS cos
+    FROM assign a JOIN probes p ON a.cid = p.cid, q
+    WHERE a.rn = 1
+    ORDER BY cos DESC, a.vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantizer assignment (nearest of 4 fixed centroids
+    — deterministic: the 4 lowest-id vectors), probe the query's 2
+    nearest inverted lists, exact cosine top-k inside
+    (similarity.py ivf_assign/ivf_ann_topk; kmeans_fit trains centroids
+    with Lloyd's DataFrame iterations for the non-fixed path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return SIM.ivf_ann_topk(
+        emb, _query_vec(spark, sf_dir), cents, k=10, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 

@@ -182,6 +182,40 @@ def test_lsh_ann_matches_brute_force_head(emb):
     assert set(exact) == set(approx) == {0, 1, 2}
 
 
+def test_ivf_ann_recalls_cluster(emb):
+    """kmeans_fit (Lloyd's as DataFrame ops) + IVF nprobe search must
+    recall the near-identical cluster the brute-force head finds."""
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cents = SIM.kmeans_fit(emb, k=4, max_iter=3, vec_col="embedding")
+    assert len(cents) == 4 and len(cents[0]) == 8
+    exact = [r["vec_id"] for r in SIM.brute_force_topk(emb, qv, k=3).collect()]
+    approx = [
+        r["vec_id"]
+        for r in SIM.ivf_ann_topk(emb, qv, cents, k=3, nprobe=2).collect()
+    ]
+    assert set(exact) == set(approx) == {0, 1, 2}
+
+
+def test_ivf_materialized_prunes_partitions(spark, emb, tmp_path):
+    """The materialized IVF layout turns the probe into a partition-pruned
+    scan: `cid IN (...)` must land in the scan's PartitionFilters."""
+    cents = SIM.kmeans_fit(emb, k=4, max_iter=2)
+    path = SIM.materialize_ivf_lists(emb, str(tmp_path / "ivf"), cents)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    probes = SIM.ivf_probe_lists(qv, cents, nprobe=2)
+    df = spark.read.parquet(path).filter(F.col("cid").isin(*probes))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]
+    got = {r["vec_id"] for r in df.select("vec_id").collect()}
+    want = {
+        r["vec_id"]
+        for r in SIM.ivf_assign(emb, cents).filter(
+            F.col("cid").isin(*probes)
+        ).select("vec_id").collect()
+    }
+    assert got == want and got
+
+
 def test_topk_per_query_window(spark, emb):
     queries = spark.createDataFrame(
         [(0, [1.0] * 8), (1, [-1.0] * 8)], "q_id int, q_vec array<float>"

@@ -168,3 +168,84 @@ def test_engine_equals_simulator_on_random_sites(spark, tmp_path, seed):
         for k, v in sim.documents.items()
     }
     assert docs == simdocs
+
+
+# ---------------------------------------------------------------------------
+# robots.txt: Catalyst parser vs an independent pure-python RFC 9309 model
+
+
+def _robots_model(body: str, agent: str = "*"):
+    """Independent reference: consecutive User-agent lines form one group;
+    a group matches if ANY of its agents equals `agent`; disallow rules in
+    file order; crawl_delay = max over matched groups; None if no group
+    matches."""
+    import re
+
+    sec, prev_is_ua = 0, False
+    agents: dict[int, set] = {}
+    rows = []
+    for i, raw in enumerate(body.split("\n")):
+        line = re.sub(r"#.*$", "", raw).strip()
+        m = re.match(r"(?i)^user-agent:\s*(\S+)", line)
+        is_ua = bool(m)
+        if is_ua and not prev_is_ua:
+            sec += 1
+        prev_is_ua = is_ua
+        if is_ua:
+            agents.setdefault(sec, set()).add(m.group(1).lower())
+        rows.append((sec, i, line))
+    matched = {s for s, ags in agents.items() if agent.lower() in ags}
+    if not matched:
+        return None
+    dis, delay = [], None
+    for s, _i, line in rows:
+        if s not in matched:
+            continue
+        dm = re.match(r"(?i)^disallow:\s*(\S+)", line)
+        if dm:
+            dis.append(dm.group(1))
+        cm = re.match(r"(?i)^crawl-delay:\s*([0-9.]+)", line)
+        if cm:
+            v = float(cm.group(1))
+            delay = v if delay is None else max(delay, v)
+    return dis, delay
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_robots_parser_matches_model(spark, seed):
+    import random
+
+    from spiders_for_all_spark.operators.politeness import (
+        robots_table_from_bodies,
+    )
+
+    rng = random.Random(seed)
+    pieces = [
+        lambda: f"User-agent: {rng.choice(['*', 'googlebot', 'BingBot'])}",
+        lambda: f"Disallow: /{rng.choice(['a', 'b/c', 'tmp'])}",
+        lambda: "Disallow:",  # empty path -> not a rule
+        lambda: f"Crawl-delay: {rng.choice(['1', '2.5', '10'])}",
+        lambda: "# comment only",
+        lambda: "",
+        lambda: "Allow: /open",  # ignored directive
+        lambda: f"Disallow: /x{rng.randrange(9)} # inline comment",
+    ]
+    bodies = {}
+    for h in range(25):
+        n = rng.randrange(0, 12)
+        bodies[f"h{h}.example.com"] = "\n".join(
+            rng.choice(pieces)() for _ in range(n)
+        )
+    df = spark.createDataFrame(
+        list(bodies.items()), "host string, body string"
+    )
+    got = {
+        r["host"]: (list(r["disallow"]), r["crawl_delay"])
+        for r in robots_table_from_bodies(df).collect()
+    }
+    want = {
+        h: (m[0], m[1])
+        for h, b in bodies.items()
+        if (m := _robots_model(b)) is not None
+    }
+    assert got == want

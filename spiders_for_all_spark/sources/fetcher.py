@@ -105,6 +105,29 @@ def _load_site(path: str) -> dict[str, dict]:
     return {r["url"]: r for r in rows}
 
 
+def partition_for_fetch(
+    scheduled, partitions: int | None, colocate_hosts: bool = True
+):
+    """Partitioning policy for the fetch stage.
+
+    ``partitions=None`` trusts upstream (the politeness window already
+    hash-partitioned by host — adding a repartition would be a pure extra
+    shuffle).  With a partition count, ``colocate_hosts=True`` keeps each
+    host's URLs in one task (per-host connection reuse, locally-observable
+    politeness accounting); ``colocate_hosts=False`` round-robins for
+    perfectly even task sizes instead — a correctness-free choice because
+    the per-host budget is enforced UPSTREAM by the window, and the right
+    trade when hot-host skew makes the fetch stage straggler-bound
+    (pinned-host A/B at local[8]/4M: 23.1 s colocated vs 22.2 s balanced;
+    results are fetch-identical either way — golden-tested).
+    """
+    if not partitions:
+        return scheduled
+    if colocate_hosts:
+        return scheduled.repartition(partitions, "host")
+    return scheduled.repartition(partitions)
+
+
 class SyntheticFetcher:
     """Deterministic fetcher over a parquet 'site' (FIXTURES.md §2).
 
@@ -115,7 +138,8 @@ class SyntheticFetcher:
 
     def __init__(self, site_path: str, partitions: int | None = None,
                  chunk_size: int = DEFAULT_CHUNK_SIZE,
-                 media_sink_dir: str | None = None):
+                 media_sink_dir: str | None = None,
+                 colocate_hosts: bool = True):
         """``media_sink_dir``: when set, media payloads are chunk-streamed
         to files in that directory INSIDE the fetch worker (K3-style file
         sink; the object-store path at scale) and ``media_bytes`` stays
@@ -124,6 +148,7 @@ class SyntheticFetcher:
         self.partitions = partitions
         self.chunk_size = chunk_size
         self.media_sink_dir = media_sink_dir
+        self.colocate_hosts = colocate_hosts
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         out_schema = fetched_schema(scheduled.schema)
@@ -211,8 +236,9 @@ class SyntheticFetcher:
         # the upstream partitioning — the politeness window already
         # hash-partitioned by host, so adding a repartition here would be a
         # pure extra shuffle.
-        if self.partitions:
-            scheduled = scheduled.repartition(self.partitions, "host")
+        scheduled = partition_for_fetch(
+            scheduled, self.partitions, self.colocate_hosts
+        )
         return scheduled.mapInPandas(run, schema=out_schema)
 
 
@@ -226,10 +252,12 @@ class HttpFetcher:
     """
 
     def __init__(self, timeout_s: float = 10.0, user_agents: list[str] | None = None,
-                 partitions: int | None = None, media_sink_dir: str | None = None):
+                 partitions: int | None = None, media_sink_dir: str | None = None,
+                 colocate_hosts: bool = True):
         self.timeout_s = timeout_s
         self.user_agents = user_agents or ["spiders-for-all-spark/0.1"]
         self.partitions = partitions
+        self.colocate_hosts = colocate_hosts
         # None = let the engine default this to the warehouse media sink
         self.media_sink_dir = media_sink_dir
 
@@ -330,8 +358,9 @@ class HttpFetcher:
                     bytes_fetched=pd.array(nbytes, dtype="Int64"),
                 )[out_cols]
 
-        if self.partitions:
-            scheduled = scheduled.repartition(self.partitions, "host")
+        scheduled = partition_for_fetch(
+            scheduled, self.partitions, self.colocate_hosts
+        )
         return scheduled.mapInPandas(run, schema=out_schema)
 
 
@@ -344,9 +373,11 @@ class ProceduralFetcher:
     cost is pure CPU, and results are reproducible at any N.
     """
 
-    def __init__(self, items_per_page: int = 2, partitions: int | None = None):
+    def __init__(self, items_per_page: int = 2, partitions: int | None = None,
+                 colocate_hosts: bool = True):
         self.items_per_page = items_per_page
         self.partitions = partitions
+        self.colocate_hosts = colocate_hosts
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         out_schema = fetched_schema(scheduled.schema)
@@ -383,6 +414,7 @@ class ProceduralFetcher:
                     bytes_fetched=pd.array([None] * len(pdf), dtype="Int64"),
                 )[out_cols]
 
-        if self.partitions:
-            scheduled = scheduled.repartition(self.partitions, "host")
+        scheduled = partition_for_fetch(
+            scheduled, self.partitions, self.colocate_hosts
+        )
         return scheduled.mapInPandas(run, schema=out_schema)

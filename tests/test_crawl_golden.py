@@ -259,6 +259,32 @@ def test_crawl_cuckoo_path_identical(spark, world, tmp_path):
     assert a == b
 
 
+def test_balanced_fetch_partitioning_identical(spark, world, tmp_path):
+    """colocate_hosts=False round-robins the fetch stage (even task sizes
+    under hot-host skew) — a correctness-free choice because the politeness
+    budget is enforced upstream: the crawl must be fetch-for-fetch and
+    span-for-span identical to the host-colocated default."""
+    ref_storage, _ = run_engine(spark, world, tmp_path / "colo", budget=2)
+    storage = SnapshotStorage(spark, str(tmp_path / "balanced"))
+    cfg = CrawlConfig(max_rounds=40, default_budget=2, max_depth=3, n_buckets=8)
+    fetcher = SyntheticFetcher(
+        world["site_path"], partitions=4, colocate_hosts=False
+    )
+    Crawler(spark, storage, fetcher, cfg).run(seeds=world["seeds"])
+    a = sorted((r["round"], r["url"]) for r in storage.read("fetch_log").collect())
+    b = sorted((r["round"], r["url"]) for r in ref_storage.read("fetch_log").collect())
+    assert a == b
+    docs_a = {
+        r["doc_id"]: spans_tuplify(r["spans"])
+        for r in storage.read("documents").collect()
+    }
+    docs_b = {
+        r["doc_id"]: spans_tuplify(r["spans"])
+        for r in ref_storage.read("documents").collect()
+    }
+    assert docs_a == docs_b
+
+
 def test_cuckoo_incremental_no_full_rebuild(spark, world, tmp_path, monkeypatch):
     """Steady-state cuckoo rounds must NOT rebuild the filter from the full
     seen set: build_cuckoo runs at most once (the bootstrap, before any

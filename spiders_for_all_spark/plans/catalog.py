@@ -988,6 +988,25 @@ def a1_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a1_partition_metrics",
+    f"""
+    WITH log AS ({_FETCHLOG_SQL})
+    SELECT round, partition_id, count(*) AS fetched,
+           sum(CASE WHEN error IS NULL THEN 1 ELSE 0 END) AS ok,
+           CAST(round(avg(latency_ms) * 1000) AS BIGINT) AS avg_latency_us
+    FROM log GROUP BY round, partition_id
+    """,
+)
+def a1_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-(round, partition) fetch lineage: the north_rule's
+    "per-partition lineage + metrics" as a queryable aggregation over the
+    committed fetch_log (operators/metrics.py:partition_metrics)."""
+    from spiders_for_all_spark.operators.metrics import partition_metrics
+
+    return partition_metrics(_fetchlog(spark, sf_dir))
+
+
+@_register(
     "a5_politeness_pacing",
     f"""
     WITH log AS ({_FETCHLOG_SQL})

@@ -1007,6 +1007,23 @@ def a1_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a1_error_breakdown",
+    f"""
+    WITH log AS ({_FETCHLOG_SQL})
+    SELECT error, count(*) AS n, max(round) AS last_round
+    FROM log WHERE error IS NOT NULL GROUP BY error
+    """,
+)
+def a1_error_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-error-class tallies over the fetch_log lineage (the
+    reference logs failures ad hoc: core/downloader.py:592-609; here the
+    breakdown is a partial-aggregatable groupBy, queryable after resume)."""
+    from spiders_for_all_spark.operators.metrics import error_breakdown
+
+    return error_breakdown(_fetchlog(spark, sf_dir))
+
+
+@_register(
     "a5_politeness_pacing",
     f"""
     WITH log AS ({_FETCHLOG_SQL})

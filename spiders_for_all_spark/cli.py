@@ -1,0 +1,328 @@
+"""Unified CLI — the Spark-first analog of the reference's click surface.
+
+The reference ships its whole UX as ``python -m spiders_for_all`` click
+groups (reference __main__.py:1-18).  This module maps each verb onto the
+library's DataFrame plans so a reference user can switch tool-for-tool:
+
+=====================  ====================================================
+reference command      here
+=====================  ====================================================
+``bilibili list`` /    ``list`` — every registered catalog query (name,
+``xhs list``           oracle flag, one-line doc), spiders/bilibili/cli.py:95
+``bilibili             ``crawl`` — the engine round loop over a parquet
+run-spider NAME``      site (or ``--synthetic``), spiders/bilibili/cli.py:47
+``bilibili             ``query NAME --limit N`` — run a catalog plan and
+data-analysis -n -t``  show/save top rows, spiders/bilibili/cli.py:102-111
+``download-by-sql``    ``download-by-sql SQL`` — S7 select -> S6 chunked
+(bilibili/cli.py:290,  media fetch with failover -> K3 file sink; only
+xhs/cli.py:129)        media *paths* travel through the plan
+``database sql``       ``sql`` — passthrough over sf-dir parquet views
+(database/cli.py:90)   and/or warehouse snapshot tables
+``database             ``list-schema`` — table -> schema/snapshot listing
+list-schema``          (database/cli.py:153)
+=====================  ====================================================
+
+Every command is a thin argparse front over library functions; all heavy
+work stays in Catalyst plans (no driver-side row loops — exports go
+through ``df.write``, never ``collect()``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_session(app: str = "spiders_for_all_spark",
+                  master: str | None = None) -> SparkSession:
+    """Session defaults shared with jobs/crawl_job.py (tmpfs shuffle,
+    one Arrow batch per fetch task).  ``getOrCreate`` reuses an active
+    session (tests, notebooks) instead of stomping it."""
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
+        .getOrCreate()
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None,
+                   warehouse: str | None = None) -> list[str]:
+    """Expose data as temp views for ``sql`` / ``download-by-sql``.
+
+    sf_dir: every ``<name>.parquet`` becomes a view ``<name>``.
+    warehouse: every committed snapshot table becomes a view (MoR tables
+    resolve last-writer-wins exactly as ``SnapshotStorage.read`` does).
+    """
+    names: list[str] = []
+    if sf_dir:
+        for fn in sorted(os.listdir(sf_dir)):
+            if fn.endswith(".parquet"):
+                name = fn[: -len(".parquet")]
+                spark.read.parquet(os.path.join(sf_dir, fn)) \
+                    .createOrReplaceTempView(name)
+                names.append(name)
+    if warehouse:
+        from spiders_for_all_spark.storage import SnapshotStorage
+
+        storage = SnapshotStorage(spark, warehouse)
+        for name in storage.tables():
+            storage.read(name).createOrReplaceTempView(name)
+            names.append(name)
+    return names
+
+
+def _emit(df: DataFrame, fmt: str, out: str | None, limit: int | None) -> None:
+    """Show or save a result.  Saving goes through ``df.write`` (a
+    distributed directory sink — the scale-correct export; the reference
+    exports row-at-a-time through the ORM, core/spider.py:191-236)."""
+    if limit is not None:
+        df = df.limit(limit)
+    if out is None:
+        df.show(limit or 20, truncate=False)
+        return
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(out)
+    elif fmt == "json":
+        writer.json(out)
+    else:
+        writer.parquet(out)
+    print(f"wrote {fmt} -> {out}")
+
+
+# ---------------------------------------------------------------- commands
+
+
+def cmd_list(_ns: argparse.Namespace) -> int:
+    """`list` — the catalog is the query library's spider registry."""
+    from spiders_for_all_spark.plans.catalog import ORACLES, QUERIES
+
+    for name in sorted(QUERIES):
+        doc = (QUERIES[name].__doc__ or "").strip().splitlines()
+        first = doc[0] if doc else ""
+        mark = "oracle" if name in ORACLES else "rows-only"
+        print(f"{name:34s} [{mark:9s}] {first}")
+    print(f"\n{len(QUERIES)} queries, {len(ORACLES)} with DuckDB oracles")
+    return 0
+
+
+def cmd_query(ns: argparse.Namespace) -> int:
+    from spiders_for_all_spark.plans.catalog import QUERIES
+
+    if ns.name not in QUERIES:
+        print(f"unknown query {ns.name!r} — see `list`", file=sys.stderr)
+        return 2
+    spark = build_session(master=ns.master)
+    df = QUERIES[ns.name](spark, ns.sf_dir)
+    _emit(df, ns.format, ns.out, ns.limit)
+    return 0
+
+
+def cmd_sql(ns: argparse.Namespace) -> int:
+    spark = build_session(master=ns.master)
+    register_views(spark, ns.sf_dir, ns.warehouse)
+    df = spark.sql(ns.sql)
+    if not df.columns:  # DDL/utility statements return no schema
+        print("OK")
+        return 0
+    _emit(df, ns.format, ns.out, ns.limit)
+    return 0
+
+
+def cmd_list_schema(ns: argparse.Namespace) -> int:
+    spark = build_session(master=ns.master)
+    if ns.sf_dir:
+        for fn in sorted(os.listdir(ns.sf_dir)):
+            if fn.endswith(".parquet"):
+                df = spark.read.parquet(os.path.join(ns.sf_dir, fn))
+                print(f"{fn[:-8]:14s} {df.schema.simpleString()}")
+    if ns.warehouse:
+        from spiders_for_all_spark.storage import SnapshotStorage
+
+        storage = SnapshotStorage(spark, ns.warehouse)
+        for name in storage.tables():
+            snap = storage.latest_snapshot(name)
+            schema = storage.read(name).schema.simpleString()
+            print(f"{name:14s} snap={snap} {schema}")
+    return 0
+
+
+def add_crawl_args(ap: argparse.ArgumentParser) -> None:
+    """Shared with jobs/crawl_job.py (the spark-submit entry)."""
+    ap.add_argument("--site", help="parquet site for the synthetic fetcher")
+    ap.add_argument("--seeds", help="text file of seed URLs")
+    ap.add_argument("--warehouse", default=None)
+    ap.add_argument("--budget", type=int, default=2)
+    ap.add_argument("--rounds", type=int, default=30)
+    ap.add_argument("--bloom", action="store_true")
+    ap.add_argument("--bloom-partitioned", action="store_true",
+                    help="cogrouped bloom probe (no driver broadcast)")
+    ap.add_argument("--cuckoo", action="store_true",
+                    help="deletable cuckoo seen-prefilter (re-crawl eviction)")
+    ap.add_argument("--salt-n", type=int, default=1)
+    ap.add_argument("--synthetic", action="store_true",
+                    help="generate a deterministic site + seeds")
+
+
+def run_crawl(spark: SparkSession, ns: argparse.Namespace) -> dict:
+    """Engine round loop; returns the summary dict the job prints.
+
+    Reference lifecycle (SURVEY §3.1): crawl -> validate -> extract ->
+    store; here rounds commit atomically via stage_*/commit_multi."""
+    from spiders_for_all_spark import fixtures as FX
+    from spiders_for_all_spark.engine import Crawler, CrawlConfig
+    from spiders_for_all_spark.sources.fetcher import SyntheticFetcher
+    from spiders_for_all_spark.sources.idlist import ids_from_text_file
+    from spiders_for_all_spark.storage import SnapshotStorage
+
+    if ns.synthetic:
+        rows, seeds = FX.build_site(n_hosts=4, pages_per_chain=3, seed=42)
+        site = os.path.join(tempfile.mkdtemp(prefix="sfas_job_"),
+                            "pages.parquet")
+        FX.write_site(rows, site)
+    else:
+        site = ns.site
+        seed_urls = [
+            r["id"] for r in ids_from_text_file(spark, ns.seeds).collect()
+        ]
+        seeds = [{"url": u, "priority": 0} for u in seed_urls]
+
+    warehouse = ns.warehouse or tempfile.mkdtemp(prefix="sfas_wh_")
+    storage = SnapshotStorage(spark, warehouse)
+    crawler = Crawler(
+        spark,
+        storage,
+        SyntheticFetcher(site),
+        CrawlConfig(
+            max_rounds=ns.rounds,
+            default_budget=ns.budget,
+            use_bloom=ns.bloom or ns.bloom_partitioned,
+            bloom_partitioned=ns.bloom_partitioned,
+            use_cuckoo=ns.cuckoo,
+            salt_n=ns.salt_n,
+        ),
+    )
+    stats = crawler.run(seeds=seeds)
+    return {
+        "rounds": len(stats.rounds),
+        "fetched": stats.total_fetched,
+        "documents": storage.read("documents").count(),
+        "warehouse": warehouse,
+    }
+
+
+def cmd_crawl(ns: argparse.Namespace) -> int:
+    spark = build_session("spiders_for_all_spark-crawl", master=ns.master)
+    spark.sparkContext.setLogLevel("WARN")
+    print(json.dumps(run_crawl(spark, ns)))
+    return 0
+
+
+def cmd_download_by_sql(ns: argparse.Namespace) -> int:
+    """S7 SQL select -> S6 chunked media fetch (ordered backup failover)
+    -> K3 file sink.  The SQL must yield a ``url`` column (optional
+    ``backup_urls`` array).  Bytes are streamed to ``--save-dir`` inside
+    the fetch workers; the returned plan carries only paths + accounting
+    (media_ref, n_chunks, bytes_fetched, media_path) — the reference
+    instead downloads driver-side with a thread pool
+    (spiders/bilibili/cli.py:290-326, core/downloader.py:436-487)."""
+    from spiders_for_all_spark.functions.urls import url_host
+    from spiders_for_all_spark.sources.fetcher import SyntheticFetcher
+
+    spark = build_session(master=ns.master)
+    register_views(spark, ns.sf_dir, ns.warehouse)
+    if ns.site:
+        spark.read.parquet(ns.site).createOrReplaceTempView("site")
+    sel = spark.sql(ns.sql)
+    if "url" not in sel.columns:
+        print("SQL must select a `url` column", file=sys.stderr)
+        return 2
+    scheduled = sel.withColumn("kind", F.lit("media")) \
+        .withColumn("attempt", F.lit(0)) \
+        .withColumn("host", url_host(F.col("url")))
+    fetcher = SyntheticFetcher(ns.site, media_sink_dir=ns.save_dir)
+    fetched = fetcher.fetch(scheduled).select(
+        "url", "status", "error", "media_ref", "n_chunks",
+        "bytes_fetched", "media_path",
+    )
+    _emit(fetched, ns.format, ns.out, ns.limit)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m spiders_for_all_spark",
+        description=__doc__.splitlines()[0],
+    )
+    ap.add_argument("--master", default=None,
+                    help="Spark master (default: inherit / local[*])")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="registered catalog queries")
+
+    q = sub.add_parser("query", help="run a catalog query by name")
+    q.add_argument("name")
+    dl_common = [q]
+
+    s = sub.add_parser("sql", help="SQL over sf-dir/warehouse views (S7)")
+    s.add_argument("sql")
+    dl_common.append(s)
+
+    ls = sub.add_parser("list-schema", help="table schemas")
+    ls.add_argument("--sf-dir", default=None)
+    ls.add_argument("--warehouse", default=None)
+
+    c = sub.add_parser("crawl", help="run the crawl engine")
+    add_crawl_args(c)
+
+    d = sub.add_parser(
+        "download-by-sql",
+        help="fetch media for SQL-selected URLs into a file sink",
+    )
+    d.add_argument("sql")
+    d.add_argument("--site", required=True,
+                   help="parquet site the synthetic fetcher reads")
+    d.add_argument("--save-dir", required=True)
+    dl_common.append(d)
+
+    for p in dl_common:
+        p.add_argument("--sf-dir", default=None,
+                       help="driver testdata dir to register as views")
+        p.add_argument("--warehouse", default=None,
+                       help="snapshot warehouse to register as views")
+        p.add_argument("--limit", type=int, default=None)
+        p.add_argument("--format", choices=["table", "csv", "json", "parquet"],
+                       default="table")
+        p.add_argument("--out", default=None,
+                       help="directory sink for csv/json/parquet export")
+
+    ns = ap.parse_args(argv)
+    return {
+        "list": cmd_list,
+        "query": cmd_query,
+        "sql": cmd_sql,
+        "list-schema": cmd_list_schema,
+        "crawl": cmd_crawl,
+        "download-by-sql": cmd_download_by_sql,
+    }[ns.cmd](ns)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

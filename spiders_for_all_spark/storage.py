@@ -145,6 +145,11 @@ class SnapshotStorage:
             )
         return snap
 
+    def tables(self) -> list[str]:
+        """Committed table names, catalog order (reference `database
+        list-schema`, database/cli.py:153-168)."""
+        return sorted(self._read_catalog())
+
     def snapshots(self, table: str) -> list[int]:
         d = self._table_dir(table)
         if not os.path.isdir(d):

@@ -1,0 +1,106 @@
+"""CLI surface (cli.py) — the reference's click-group UX mapped to Spark.
+
+Each test drives ``main(argv)`` in-process; ``build_session`` getOrCreate's
+the shared test session, so no extra JVM is spawned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from spiders_for_all_spark import fixtures as FX
+from spiders_for_all_spark.cli import main
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def test_list_prints_catalog(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup_minhash_lsh" in out
+    assert "[oracle" in out
+    assert "queries" in out.splitlines()[-1]
+
+
+def test_query_unknown_name_is_error(capsys):
+    assert main(["query", "no_such_query", "--sf-dir", SF_DIR]) == 2
+
+
+def test_query_export_csv(spark, tmp_path):
+    out = str(tmp_path / "q1_csv")
+    assert main([
+        "query", "tpch_q1", "--sf-dir", SF_DIR,
+        "--format", "csv", "--out", out,
+    ]) == 0
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() > 0
+    assert "l_returnflag" in back.columns
+
+
+def test_sql_passthrough_over_sf_views(capsys):
+    assert main([
+        "sql", "SELECT count(*) AS n_regions FROM region",
+        "--sf-dir", SF_DIR,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "n_regions" in out
+    assert "5" in out
+
+
+def test_list_schema_sf_dir(capsys):
+    assert main(["list-schema", "--sf-dir", SF_DIR]) == 0
+    out = capsys.readouterr().out
+    assert "documents" in out
+    assert "struct<" in out
+
+
+def test_crawl_synthetic_and_warehouse_schema(capsys, tmp_path):
+    wh = str(tmp_path / "wh")
+    assert main([
+        "crawl", "--synthetic", "--rounds", "4", "--warehouse", wh,
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["documents"] > 0
+    assert summary["rounds"] >= 1
+
+    assert main(["list-schema", "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "documents" in out and "fetch_log" in out and "snap=" in out
+
+
+def test_download_by_sql_streams_to_file_sink(spark, tmp_path):
+    rows, _seeds = FX.build_site(n_hosts=2, pages_per_chain=2, seed=11)
+    site = os.path.join(tempfile.mkdtemp(), "pages.parquet")
+    FX.write_site(rows, site)
+    save_dir = str(tmp_path / "media")
+    out = str(tmp_path / "report")
+    assert main([
+        "download-by-sql",
+        "SELECT url FROM site WHERE url LIKE '%/media/%'",
+        "--site", site, "--save-dir", save_dir,
+        "--format", "json", "--out", out,
+    ]) == 0
+    files = os.listdir(save_dir)
+    assert files, "no media files written by the sink"
+    report = spark.read.json(out)
+    ok = report.filter("status = 200")
+    assert ok.count() == len(files)
+    row = ok.first()
+    assert row["media_path"].startswith(save_dir)
+    assert row["bytes_fetched"] > 0
+
+
+def test_download_by_sql_requires_url_column(tmp_path):
+    rows, _ = FX.build_site(n_hosts=1, pages_per_chain=1, seed=1)
+    site = os.path.join(tempfile.mkdtemp(), "pages.parquet")
+    FX.write_site(rows, site)
+    assert main([
+        "download-by-sql", "SELECT 1 AS x",
+        "--site", site, "--save-dir", str(tmp_path / "m"),
+    ]) == 2

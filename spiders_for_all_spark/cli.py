@@ -16,6 +16,11 @@ data-analysis -n -t``  show/save top rows, spiders/bilibili/cli.py:102-111
 ``download-by-sql``    ``download-by-sql SQL`` — S7 select -> S6 chunked
 (bilibili/cli.py:290,  media fetch with failover -> K3 file sink; only
 xhs/cli.py:129)        media *paths* travel through the plan
+``download-by-ids``    ``download-by-ids IDS`` — inline separated list OR
+(bilibili/cli.py:191)  a file path, parsed by the S8 id-list source
+``download-by-author`` ``download-by-host HOST`` — the site model's
+(bilibili/cli.py:261)  grouping key is the host: fetch all its media
+(no reference analog)  ``maintain`` — compaction + snapshot expiry
 ``database sql``       ``sql`` — passthrough over sf-dir parquet views
 (database/cli.py:90)   and/or warehouse snapshot tables
 ``database             ``list-schema`` — table -> schema/snapshot listing
@@ -235,24 +240,18 @@ def cmd_crawl(ns: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_download_by_sql(ns: argparse.Namespace) -> int:
-    """S7 SQL select -> S6 chunked media fetch (ordered backup failover)
-    -> K3 file sink.  The SQL must yield a ``url`` column (optional
-    ``backup_urls`` array).  Bytes are streamed to ``--save-dir`` inside
-    the fetch workers; the returned plan carries only paths + accounting
-    (media_ref, n_chunks, bytes_fetched, media_path) — the reference
-    instead downloads driver-side with a thread pool
+def _fetch_media(ns: argparse.Namespace, sel: DataFrame) -> int:
+    """Shared tail of every download verb: S6 chunked fetch with ordered
+    backup failover -> K3 file sink.  Bytes stream to ``--save-dir``
+    inside the fetch workers; the returned plan carries only paths +
+    accounting (media_ref, n_chunks, bytes_fetched, media_path) — the
+    reference instead downloads driver-side with a thread pool
     (spiders/bilibili/cli.py:290-326, core/downloader.py:436-487)."""
     from spiders_for_all_spark.functions.urls import url_host
     from spiders_for_all_spark.sources.fetcher import SyntheticFetcher
 
-    spark = build_session(master=ns.master)
-    register_views(spark, ns.sf_dir, ns.warehouse)
-    if ns.site:
-        spark.read.parquet(ns.site).createOrReplaceTempView("site")
-    sel = spark.sql(ns.sql)
     if "url" not in sel.columns:
-        print("SQL must select a `url` column", file=sys.stderr)
+        print("selection must yield a `url` column", file=sys.stderr)
         return 2
     scheduled = sel.withColumn("kind", F.lit("media")) \
         .withColumn("attempt", F.lit(0)) \
@@ -263,6 +262,65 @@ def cmd_download_by_sql(ns: argparse.Namespace) -> int:
         "bytes_fetched", "media_path",
     )
     _emit(fetched, ns.format, ns.out, ns.limit)
+    return 0
+
+
+def cmd_download_by_sql(ns: argparse.Namespace) -> int:
+    """S7 SQL select feeding the media fetch (reference ``download-by-sql``,
+    bilibili/cli.py:290, xhs/cli.py:129)."""
+    spark = build_session(master=ns.master)
+    register_views(spark, ns.sf_dir, ns.warehouse)
+    if ns.site:
+        spark.read.parquet(ns.site).createOrReplaceTempView("site")
+    return _fetch_media(ns, spark.sql(ns.sql))
+
+
+def cmd_download_by_ids(ns: argparse.Namespace) -> int:
+    """Reference ``download-by-ids`` (bilibili/cli.py:191-230): the ids
+    argument is either an inline ``,``/space/newline-separated list or a
+    path to a file of ids — both parsed by the S8 id-list source."""
+    from spiders_for_all_spark.sources.idlist import (
+        ids_from_string, ids_from_text_file,
+    )
+
+    spark = build_session(master=ns.master)
+    src = (ids_from_text_file(spark, ns.ids) if os.path.isfile(ns.ids)
+           else ids_from_string(spark, ns.ids))
+    return _fetch_media(ns, src.select(F.col("id").alias("url")))
+
+
+def cmd_download_by_host(ns: argparse.Namespace) -> int:
+    """Spark-first analog of ``download-by-author`` (bilibili/cli.py:261):
+    the reference resolves an author to their video list then downloads
+    it; here the grouping key in the site model is the host, so this
+    selects every media URL under one host and fetches it."""
+    spark = build_session(master=ns.master)
+    site = spark.read.parquet(ns.site)
+    sel = site.filter(
+        (F.col("kind") == "media")
+        & F.col("url").startswith(f"https://{ns.host}/")
+    ).select("url")
+    return _fetch_media(ns, sel)
+
+
+def cmd_maintain(ns: argparse.Namespace) -> int:
+    """Warehouse maintenance: size-tiered compaction (MoR delta fold for
+    merge tables) + snapshot expiry, per table, one JSON summary line.
+    The reference has no storage maintenance at all (SQLite ORM)."""
+    from spiders_for_all_spark.storage import SnapshotStorage
+
+    spark = build_session(master=ns.master)
+    storage = SnapshotStorage(spark, ns.warehouse)
+    summary = {}
+    for table in storage.tables():
+        snap = storage.compact(table)
+        expired = storage.expire_snapshots(table, keep_last=ns.keep_last)
+        summary[table] = {
+            "snap": snap,
+            "data_dirs": storage.n_data_dirs(table),
+            "expired": len(expired),
+        }
+    print(json.dumps(summary))
     return 0
 
 
@@ -297,10 +355,32 @@ def main(argv: list[str] | None = None) -> int:
         help="fetch media for SQL-selected URLs into a file sink",
     )
     d.add_argument("sql")
-    d.add_argument("--site", required=True,
-                   help="parquet site the synthetic fetcher reads")
-    d.add_argument("--save-dir", required=True)
     dl_common.append(d)
+
+    di = sub.add_parser(
+        "download-by-ids",
+        help="fetch media for an inline id list or an id file (S8 source)",
+    )
+    di.add_argument("ids", help="separated URL list, or a path to a file")
+    dl_common.append(di)
+
+    dh = sub.add_parser(
+        "download-by-host",
+        help="fetch every media URL under one host (≙ download-by-author)",
+    )
+    dh.add_argument("host")
+    dl_common.append(dh)
+
+    for p in (d, di, dh):
+        p.add_argument("--site", required=True,
+                       help="parquet site the synthetic fetcher reads")
+        p.add_argument("--save-dir", required=True)
+
+    m = sub.add_parser(
+        "maintain", help="compact + expire snapshots for a warehouse",
+    )
+    m.add_argument("--warehouse", required=True)
+    m.add_argument("--keep-last", type=int, default=2)
 
     for p in dl_common:
         p.add_argument("--sf-dir", default=None,
@@ -321,6 +401,9 @@ def main(argv: list[str] | None = None) -> int:
         "list-schema": cmd_list_schema,
         "crawl": cmd_crawl,
         "download-by-sql": cmd_download_by_sql,
+        "download-by-ids": cmd_download_by_ids,
+        "download-by-host": cmd_download_by_host,
+        "maintain": cmd_maintain,
     }[ns.cmd](ns)
 
 

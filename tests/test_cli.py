@@ -96,6 +96,71 @@ def test_download_by_sql_streams_to_file_sink(spark, tmp_path):
     assert row["bytes_fetched"] > 0
 
 
+def test_download_by_ids_inline_and_file(spark, tmp_path):
+    rows, _ = FX.build_site(n_hosts=2, pages_per_chain=2, seed=12)
+    site = os.path.join(tempfile.mkdtemp(), "pages.parquet")
+    FX.write_site(rows, site)
+    media = [r["url"] for r in rows if r["kind"] == "media"][:3]
+
+    save_inline = str(tmp_path / "m_inline")
+    assert main([
+        "download-by-ids", ",".join(media),
+        "--site", site, "--save-dir", save_inline,
+        "--format", "parquet", "--out", str(tmp_path / "rep_inline"),
+    ]) == 0
+    assert len(os.listdir(save_inline)) == len(media)
+
+    ids_file = tmp_path / "ids.txt"
+    ids_file.write_text("\n".join(media) + "\n")
+    save_file = str(tmp_path / "m_file")
+    assert main([
+        "download-by-ids", str(ids_file),
+        "--site", site, "--save-dir", save_file,
+        "--format", "parquet", "--out", str(tmp_path / "rep_file"),
+    ]) == 0
+    # both input forms hit the same S8 parse -> identical sink contents
+    assert sorted(os.listdir(save_file)) == sorted(os.listdir(save_inline))
+    rep = spark.read.parquet(str(tmp_path / "rep_file"))
+    assert rep.filter("status = 200").count() == len(media)
+
+
+def test_download_by_host_fetches_all_host_media(spark, tmp_path):
+    rows, _ = FX.build_site(n_hosts=2, pages_per_chain=2, seed=13)
+    site = os.path.join(tempfile.mkdtemp(), "pages.parquet")
+    FX.write_site(rows, site)
+    hosts = sorted({r["url"].split("/")[2] for r in rows})
+    host = hosts[0]
+    expect = [r["url"] for r in rows
+              if r["kind"] == "media" and r["url"].split("/")[2] == host]
+    save = str(tmp_path / "m_host")
+    assert main([
+        "download-by-host", host, "--site", site, "--save-dir", save,
+        "--format", "parquet", "--out", str(tmp_path / "rep_host"),
+    ]) == 0
+    assert len(os.listdir(save)) == len(expect) > 0
+
+
+def test_maintain_compacts_and_expires(capsys, tmp_path):
+    wh = str(tmp_path / "wh")
+    assert main([
+        "crawl", "--synthetic", "--rounds", "5", "--warehouse", wh,
+    ]) == 0
+    capsys.readouterr()
+    assert main(["maintain", "--warehouse", wh, "--keep-last", "1"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "fetch_log" in summary and "documents" in summary
+    # 5 appended rounds + init fold into few dirs; old snapshots dropped
+    assert summary["fetch_log"]["data_dirs"] <= 3
+    assert summary["fetch_log"]["expired"] >= 1
+    # warehouse still readable after maintenance, same row counts
+    from spiders_for_all_spark.cli import build_session
+    from spiders_for_all_spark.storage import SnapshotStorage
+
+    storage = SnapshotStorage(build_session(), wh)
+    assert storage.read("documents").count() > 0
+    assert storage.read("fetch_log").count() > 0
+
+
 def test_download_by_sql_requires_url_column(tmp_path):
     rows, _ = FX.build_site(n_hosts=1, pages_per_chain=1, seed=1)
     site = os.path.join(tempfile.mkdtemp(), "pages.parquet")

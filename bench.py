@@ -151,6 +151,17 @@ def crawl_round_throughput(spark: SparkSession) -> tuple[float, int]:
     frontier, seen = materialize(FRONTIER_N, "main")
     budget = max(FRONTIER_N // N_HOSTS, 1)  # budget admits ~the full candidate set
 
+    # AQE off for the round: every partitioning here is explicit (the
+    # politeness window's hash(host), the balanced round-robin fetch), so
+    # runtime re-planning has nothing to decide — but its per-stage
+    # materialize->re-optimize barriers cost ~0.6s of width-independent
+    # driver time per round (measured at 20k frontier, pinned local[2]:
+    # 3.0s -> 2.4s), which is exactly the fixed cost that suppresses
+    # N->4N scaling at narrow widths.  The catalog section below restores
+    # AQE — its broadcast-join/agg queries want runtime coalescing.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_ROUND_AQE", "false"))
+
     # untimed warm-up execution of the identical round: JIT-compiles every
     # generated stage class (a real crawl runs hundreds of rounds —
     # steady-state is the honest number).  Each run_round call rebuilds the
@@ -166,6 +177,7 @@ def crawl_round_throughput(spark: SparkSession) -> tuple[float, int]:
         t0 = time.monotonic()
         n_urls = run_round(frontier, seen, budget)
         times.append(time.monotonic() - t0)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return min(times), n_urls
 
 

@@ -420,12 +420,28 @@ def _note_doc(note: Column) -> Column:
     return F.struct(note["id"].alias("doc_id"), _reoffset(spans).alias("spans"))
 
 
-def parse_stage(fetched: DataFrame) -> DataFrame:
-    """Catalyst-native parse: body -> envelope fields + docs + out_links.
+def _session_expr_cache() -> dict:
+    """Per-SparkSession cache for parse_stage's Column trees.
 
-    Matches parse_body row-for-row (golden-tested); runs entirely in the
-    JVM under whole-stage codegen.
-    """
+    Building the ~200-node expression tree costs ~0.5-1 s of serial py4j
+    driver time PER ROUND — a width-independent cost that caps N->4N
+    scaling (the narrow-vs-wide round differs only in executor time).
+    Columns are immutable unresolved expressions, so the same objects are
+    safely reused across rounds/DataFrames; keying the cache on the
+    session object makes the JVM references die with their session."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return {}
+    return spark.__dict__.setdefault("_sfas_parse_expr_cache", {})
+
+
+def _build_parse_exprs(
+    has_media_cols: bool,
+) -> tuple[dict[str, Column], list[Column]]:
+    """The full parse expression tree: (withColumns projection, output
+    columns).  Depends only on whether the input carries media columns."""
     kind = F.col("kind")
     is_http_ok = F.col("status") == 200
 
@@ -458,9 +474,7 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
             {"columnNameOfCorruptRecord": "_corrupt"},
         ),
     )
-    fetched = fetched.withColumns(
-        {"_env": env0, "_state_raw": state_raw0, "_state": state0}
-    )
+    with_cols = {"_env": env0, "_state_raw": state_raw0, "_state": state0}
     env, state_raw, state = F.col("_env"), F.col("_state_raw"), F.col("_state")
 
     is_env_kind = kind.isin("page", "cursor")
@@ -502,7 +516,6 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
 
     # S6 media doc: one single-span doc keyed by the canonical frontier URL,
     # media_ref = the failover winner (Catalyst twin of parse_body's branch)
-    has_media_cols = "media_ref" in fetched.columns and "canonical_url" in fetched.columns
     media_ref_col = (
         F.col("media_ref") if has_media_cols else F.lit(None).cast("string")
     )
@@ -576,12 +589,7 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
         ),
     )
 
-    return fetched.select(
-        *[
-            f.name
-            for f in fetched.schema.fields
-            if f.name not in ("body", "_env", "_state_raw", "_state")
-        ],
+    out_cols = [
         code.alias("code"),
         page_title.alias("page_title"),
         success.alias("success"),
@@ -592,4 +600,32 @@ def parse_stage(fetched: DataFrame) -> DataFrame:
         items_count.alias("items_count"),
         page_size.alias("page_size"),
         parse_error.alias("parse_error"),
+    ]
+    return with_cols, out_cols
+
+
+def parse_stage(fetched: DataFrame) -> DataFrame:
+    """Catalyst-native parse: body -> envelope fields + docs + out_links.
+
+    Matches parse_body row-for-row (golden-tested); runs entirely in the
+    JVM under whole-stage codegen.  The expression tree is cached per
+    session (see _session_expr_cache) — rounds after the first skip the
+    py4j construction cost entirely.
+    """
+    has_media_cols = (
+        "media_ref" in fetched.columns and "canonical_url" in fetched.columns
+    )
+    cache = _session_expr_cache()
+    key = ("parse_stage", has_media_cols)
+    if key not in cache:
+        cache[key] = _build_parse_exprs(has_media_cols)
+    with_cols, out_cols = cache[key]
+    fetched = fetched.withColumns(with_cols)
+    return fetched.select(
+        *[
+            f.name
+            for f in fetched.schema.fields
+            if f.name not in ("body", "_env", "_state_raw", "_state")
+        ],
+        *out_cols,
     )

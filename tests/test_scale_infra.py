@@ -577,3 +577,41 @@ def test_parse_title_extraction(spark):
     out = {r["kind"]: r["page_title"] for r in parse_stage(df).collect()}
     assert out["html"] == "T1 | h"
     assert out["page"] is None
+
+
+def test_parse_expr_cache_reused_across_rounds(spark):
+    """The ~200-node parse Column tree is built once per session per
+    input shape and reused (the py4j construction cost is per-round
+    driver time that suppresses narrow-pair scaling — PLANS.md)."""
+    import spiders_for_all_spark.operators.parse as P
+
+    spark.__dict__.pop("_sfas_parse_expr_cache", None)
+    calls = []
+    real = P._build_parse_exprs
+
+    def counting(has_media_cols):
+        calls.append(has_media_cols)
+        return real(has_media_cols)
+
+    df = spark.createDataFrame(
+        [("https://h/api/list?page=1&size=2", "page", 200,
+          '{"code":0,"data":{"list":[]}}')],
+        "url string, kind string, status int, body string",
+    )
+    old = P._build_parse_exprs
+    P._build_parse_exprs = counting
+    try:
+        r1 = P.parse_stage(df).collect()
+        r2 = P.parse_stage(df).collect()  # second "round": cache hit
+        assert r1 == r2
+        assert calls == [False], calls
+        # a media-shaped input is a different tree -> second cache entry
+        dfm = df.withColumn("media_ref", F.lit(None).cast("string")) \
+                .withColumn("canonical_url", F.col("url"))
+        P.parse_stage(dfm).collect()
+        P.parse_stage(dfm).collect()
+        assert calls == [False, True], calls
+    finally:
+        P._build_parse_exprs = old
+    assert set(spark.__dict__["_sfas_parse_expr_cache"]) == {
+        ("parse_stage", False), ("parse_stage", True)}

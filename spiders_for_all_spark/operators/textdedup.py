@@ -414,6 +414,107 @@ def minhash_dup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# incremental MinHash-LSH index — corpus-level analogue of the engine's
+# incrementally-maintained seen filters: a growing crawl NEVER re-hashes or
+# re-shuffles the committed corpus to dedup a new batch.
+
+
+def minhash_index_rows(
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band, bucket) band rows for ONLY this batch — the
+    O(|batch|) per-increment cost (shingling + hashing happen once per
+    document ever; the committed index is the memo)."""
+    return minhash_bands(
+        minhash_signature(new_docs, text_col, id_col, n_hashes, shingle_n),
+        id_col,
+        n_hashes,
+        band_size,
+    )
+
+
+def minhash_index_probe(
+    new_bands: DataFrame,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """All candidate near-dup pairs touching the batch: batch × corpus ∪
+    batch × batch, as canonical (a < b) distinct rows.
+
+    Scale shape: the corpus ``index`` is first semi-joined against a
+    BROADCAST of the batch's distinct (band, bucket) keys, so the corpus
+    side is a streamed columnar scan of three narrow columns — it is never
+    shuffled, mirroring the engine rule that no round job shuffles the
+    full seen set.  Only the surviving rows (corpus docs sharing a bucket
+    with the batch — O(candidates)) enter the pair-forming shuffle.  For
+    very large batches set ``broadcast_keys=False`` (the key set no longer
+    fits a broadcast) and the prune becomes a shuffle semi-join — still
+    O(batch + hits), not O(corpus) pair work.
+    """
+    n = new_bands.select("band", "bucket", F.col(id_col).alias("nid"))
+    if index is None:
+        o = new_bands.select("band", "bucket", F.col(id_col).alias("oid"))
+    else:
+        keys = new_bands.select("band", "bucket").distinct()
+        if broadcast_keys:
+            keys = F.broadcast(keys)
+        hits = index.join(keys, on=["band", "bucket"], how="leftsemi")
+        o = (
+            hits.unionByName(new_bands)
+            .select("band", "bucket", F.col(id_col).alias("oid"))
+        )
+    return (
+        n.join(o, on=["band", "bucket"])
+        .filter(F.col("nid") != F.col("oid"))
+        .select(
+            F.least("nid", "oid").alias("a"),
+            F.greatest("nid", "oid").alias("b"),
+        )
+        .distinct()
+    )
+
+
+def incremental_dedup_round(
+    storage,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    table: str = "minhash_index",
+    broadcast_keys: bool = True,
+    **lsh_kw,
+):
+    """One increment of corpus dedup through the snapshot storage layer:
+    stage the batch's band rows as an O(batch) append to the committed
+    ``minhash_index`` table, and return the candidate pairs the batch
+    forms against everything already indexed (plus within itself).
+
+    Returns ``(pairs, staged)`` — the caller flips ``staged`` atomically
+    with the round's other tables via ``commit_multi`` (never visible
+    half-committed), exactly like the engine's seen/bloom maintenance.
+    The probe reads the batch bands back from the staged parquet, so the
+    shingle+md5 work is not recomputed when both outputs are consumed.
+    """
+    bands = minhash_index_rows(new_docs, text_col, id_col, **lsh_kw)
+    index = (
+        storage.read(table)
+        if storage.latest_snapshot(table) is not None
+        else None
+    )
+    staged = storage.stage_append(table, bands)
+    staged_bands = new_docs.sparkSession.read.parquet(
+        storage._data_dir(staged.table, staged.snap)
+    )
+    pairs = minhash_index_probe(staged_bands, index, id_col, broadcast_keys)
+    return pairs, staged
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 
 

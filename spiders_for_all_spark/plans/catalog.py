@@ -557,6 +557,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.minhash_candidate_pairs(_docs(spark, sf_dir))
 
 
+@_register("dedup_minhash_incremental", _MINHASH_SQL + "SELECT a, b FROM pairs")
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH-index dedup: the corpus arrives in two batches;
+    batch 1 probes an empty index (pairs within batch 1), batch 2 probes
+    the index holding batch 1's band rows (every pair touching batch 2,
+    corpus side broadcast-pruned — never shuffled).  The union must equal
+    the one-shot full-corpus candidate-pair set, so the oracle is the SAME
+    SQL as ``dedup_minhash_lsh`` — the equivalence IS the check."""
+    docs = _docs(spark, sf_dir)
+    even = F.col("doc_id").cast("bigint") % 2 == 0
+    bands1 = TD.minhash_index_rows(docs.filter(even))
+    bands2 = TD.minhash_index_rows(docs.filter(~even))
+    p1 = TD.minhash_index_probe(bands1)
+    p2 = TD.minhash_index_probe(bands2, index=bands1)
+    return p1.unionByName(p2)
+
+
 @_register(
     "dedup_ngram_jaccard",
     _MINHASH_SQL

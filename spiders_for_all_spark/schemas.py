@@ -153,6 +153,19 @@ CUCKOO = T.StructType(
     ]
 )
 
+# Committed MinHash-LSH band index over the document corpus — the
+# corpus-level twin of the seen filters: each dedup increment APPENDS only
+# the new batch's band rows (O(batch); shingling+hashing happen once per
+# document ever) and probes the committed index with a broadcast-pruned
+# semi-join (the corpus side is never shuffled).
+MINHASH_INDEX = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket", T.StringType(), False),
+    ]
+)
+
 # Re-crawl eviction tombstones: url_hashes logically deleted from the seen
 # set (cuckoo-filter deletions at probe time).  Rows are removed again the
 # moment the URL is re-fetched (its hash re-enters seen) — the table stays

@@ -60,6 +60,7 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "host_budget": S.HOST_BUDGET,
     "media_meta": S.MEDIA_META,
     "evicted": S.EVICTED,
+    "minhash_index": S.MINHASH_INDEX,
     "bloom": S.BLOOM,
     "cuckoo": S.CUCKOO,
 }

@@ -121,6 +121,64 @@ def test_connected_components_star_matches_min_label(spark):
     assert len(out) == 65
 
 
+def test_incremental_index_equals_one_shot(spark, docs):
+    """Two-batch incremental probe reproduces the one-shot candidate-pair
+    set exactly (batch1 self-probe ∪ batch2-vs-index probe), with the
+    corpus side broadcast-pruned — and with broadcast off the pairs are
+    identical (the knob changes the plan, never the answer)."""
+    one_shot = {(r["a"], r["b"]) for r in TD.minhash_candidate_pairs(docs).collect()}
+    b1 = docs.filter(F.col("doc_id").isin("d1", "d2"))
+    b2 = docs.filter(~F.col("doc_id").isin("d1", "d2"))
+    bands1 = TD.minhash_index_rows(b1)
+    bands2 = TD.minhash_index_rows(b2)
+    p1 = TD.minhash_index_probe(bands1)
+    p2 = TD.minhash_index_probe(bands2, index=bands1)
+    got = {(r["a"], r["b"]) for r in p1.unionByName(p2).collect()}
+    assert got == one_shot
+    p2_nob = TD.minhash_index_probe(bands2, index=bands1, broadcast_keys=False)
+    got_nob = {(r["a"], r["b"]) for r in p1.unionByName(p2_nob).collect()}
+    assert got_nob == one_shot
+
+
+def test_incremental_probe_broadcasts_batch_keys(docs):
+    """The index-pruning semi-join must be a BROADCAST of the batch's keys
+    (the corpus index is streamed, never shuffled) — the plan property the
+    100 TB story rests on."""
+    bands1 = TD.minhash_index_rows(docs.filter(F.col("doc_id") == "d1"))
+    bands2 = TD.minhash_index_rows(docs.filter(F.col("doc_id") == "d2"))
+    plan = (
+        TD.minhash_index_probe(bands2, index=bands1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_incremental_dedup_round_through_storage(spark, tmp_path):
+    """Three increments through SnapshotStorage: each round stages an
+    O(batch) append to the minhash_index table (flipped via commit_multi),
+    pairs accumulate to the one-shot set, and the committed index equals
+    the full corpus band table."""
+    from spiders_for_all_spark.storage import SnapshotStorage
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    storage = SnapshotStorage(spark, str(tmp_path / "wh"))
+    batches = [("d1", "d2"), ("d3",), ("d4", "d5")]
+    seen_pairs: set = set()
+    for ids in batches:
+        batch = docs.filter(F.col("doc_id").isin(*ids))
+        pairs, staged = TD.incremental_dedup_round(storage, batch)
+        seen_pairs |= {(r["a"], r["b"]) for r in pairs.collect()}
+        storage.commit_multi([staged])
+    one_shot = {(r["a"], r["b"]) for r in TD.minhash_candidate_pairs(docs).collect()}
+    assert seen_pairs == one_shot
+    committed = storage.read("minhash_index")
+    full_bands = TD.minhash_index_rows(docs)
+    assert committed.count() == full_bands.count()
+    assert committed.exceptAll(full_bands).count() == 0
+
+
 def test_minhash_dup_clusters(docs):
     out = {r["doc_id"]: r["component"] for r in TD.minhash_dup_clusters(docs).collect()}
     # d1/d2/d5 exact-dup family (+ d3 near dup) share one component, rep=d1

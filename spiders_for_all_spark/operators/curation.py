@@ -1,0 +1,124 @@
+"""Corpus-curation operators: eval-set decontamination, mixture
+weighting, stratified sampling.
+
+First-class training-data-pipeline components (no reference counterpart —
+the reference stores raw scraped rows only, core/spider.py:196-236).
+Design constraints at 100 TB:
+
+* Decontamination never shuffles the corpus: the eval set's shingle set
+  is bounded (eval benchmarks are thousands of documents), so it rides a
+  broadcast and the corpus side is a streamed scan + map-side explode.
+* Mixture weighting aggregates to one row per group before any window:
+  the whole-table share window runs over #groups rows, not the corpus.
+* Sampling is seeded and engine-independent (md5-derived order), so a
+  sample drawn today is bit-identical on resume, backfill, or re-run —
+  the reproducibility property a training-data freeze needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.functions.text import shingles, token_count
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per corpus document: how many of its distinct word ``shingle_n``-grams
+    appear anywhere in the eval set (n_hits), plus the contaminated flag.
+
+    The GPT-3 decontamination recipe (13-gram collision against eval
+    benchmarks), expressed as: distinct eval shingles -> BROADCAST ->
+    map-side equi-join against the corpus's exploded distinct shingles ->
+    per-doc count.  The corpus is streamed once; only per-doc hit counts
+    (tiny) reach a shuffle.  Set ``broadcast_eval=False`` if the eval
+    shingle set outgrows the broadcast limit.
+    """
+    ev = eval_docs.select(
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("sh")
+    ).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    sh = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    hits = sh.join(ev, on="sh").groupBy(id_col).agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .na.fill({"n_hits": 0})
+        .select(
+            id_col, "n_hits", (F.col("n_hits") > 0).alias("contaminated")
+        )
+    )
+
+
+def mixture_weights(
+    corpus: DataFrame,
+    target: dict[str, float],
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group token share and the resampling weight that reshapes the
+    corpus to a target mixture: weight = target_share / actual_share.
+
+    The LLM-pretraining mixture step (sample source s with probability
+    proportional to weight_s to hit the target token distribution).  One
+    partial-aggregatable groupBy over the corpus; the total-share window
+    runs over the #groups result rows only.
+    """
+    tok = corpus.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col))).alias("tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    share = F.col("tokens") / F.sum("tokens").over(Window.partitionBy())
+    tgt = F.create_map(
+        *[F.lit(x) for kv in sorted(target.items()) for x in kv]
+    )[F.col(group_col)]
+    return tok.select(
+        group_col,
+        "tokens",
+        "n_docs",
+        share.alias("token_share"),
+        (F.coalesce(tgt, F.lit(0.0)) / share).alias("weight"),
+    )
+
+
+def stratified_sample(
+    corpus: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Seeded exact-k-per-stratum sample: rank by md5(seed || id) within
+    each stratum, keep the first k.
+
+    md5 of the id is a uniform draw that any engine reproduces bit-for-bit
+    (no RNG state, no partition-order dependence — unlike
+    ``DataFrame.sample``, which is seed-stable only for a fixed partition
+    layout).  The per-stratum window sort is O(|stratum| log k) with
+    Spark's TopK window optimization; for fraction (not exact-k) sampling
+    at extreme scale prefer a threshold filter on the same md5 draw,
+    which needs no window at all (see f8_seeded_fingerprint).
+    """
+    order = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, id_col)
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

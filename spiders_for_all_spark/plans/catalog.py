@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from spiders_for_all_spark.functions import text as TX
 from spiders_for_all_spark.functions.urls import canonicalize_url
 from spiders_for_all_spark.functions import vectors as V
+from spiders_for_all_spark.operators import curation as CU
 from spiders_for_all_spark.operators import similarity as SIM
 from spiders_for_all_spark.operators import textdedup as TD
 
@@ -572,6 +573,107 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = TD.minhash_index_probe(bands1)
     p2 = TD.minhash_index_probe(bands2, index=bands1)
     return p1.unionByName(p2)
+
+
+@_register(
+    "curation_decontaminate",
+    f"""
+    WITH docs AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             CAST(doc_id AS BIGINT) % 20 = 0 AS is_eval,
+             {_NORM_SQL} AS norm
+      FROM documents),
+    w AS (SELECT doc_id, is_eval, string_split(norm, ' ') AS w FROM docs),
+    sh AS (SELECT doc_id, is_eval,
+                  unnest([array_to_string(w[i+1:i+3], ' ')
+                          for i in range(greatest(len(w)-2, 0))]) AS sh
+           FROM w),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE is_eval),
+    cs AS (SELECT DISTINCT doc_id, sh FROM sh WHERE NOT is_eval),
+    hits AS (SELECT doc_id, count(*) AS n_hits FROM cs JOIN ev USING (sh)
+             GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM docs d LEFT JOIN hits h USING (doc_id)
+    WHERE NOT d.is_eval
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 recipe, n-gram collision): every
+    20th document plays the eval benchmark; each remaining corpus doc is
+    scored by how many distinct shingles it shares with the eval set.
+    The eval shingle set is broadcast — the corpus is never shuffled
+    (operators/curation.py:decontaminate)."""
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id").cast("bigint") % 20 == 0
+    return CU.decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), shingle_n=3
+    )
+
+
+_MIX_TARGET = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+@_register(
+    "curation_mixture_weights",
+    f"""
+    WITH t AS (SELECT lang,
+                      CAST(sum(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS tokens,
+                      count(*) AS n_docs
+               FROM documents GROUP BY lang)
+    SELECT lang, tokens, n_docs,
+           CAST(round(tokens / CAST(sum(tokens) OVER () AS DOUBLE) * 1000000)
+                AS BIGINT) AS token_share_ppm,
+           CAST(round((CASE {' '.join(f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(_MIX_TARGET.items()))}
+                       ELSE 0.0 END)
+                      / (tokens / CAST(sum(tokens) OVER () AS DOUBLE))
+                      * 1000000) AS BIGINT) AS weight_ppm
+    FROM t
+    """,
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture weighting: per-language token share and the
+    resampling weight that reshapes the corpus to a target mixture
+    (weight = target_share / actual_share).  Shares are emitted as integer
+    parts-per-million — the a1 lesson: integers hash identically across
+    engines (operators/curation.py:mixture_weights)."""
+    out = CU.mixture_weights(_t(spark, sf_dir, "documents"), _MIX_TARGET)
+    return out.select(
+        "lang",
+        "tokens",
+        "n_docs",
+        F.round(F.col("token_share") * 1_000_000)
+        .cast("bigint")
+        .alias("token_share_ppm"),
+        F.round(F.col("weight") * 1_000_000)
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )
+
+
+@_register(
+    "curation_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY md5('s0' || CAST(doc_id AS VARCHAR)),
+                          CAST(doc_id AS VARCHAR)) AS rn
+      FROM documents)
+    SELECT lang, rn, doc_id FROM ranked WHERE rn <= 5
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded exact-k-per-stratum sample (k=5 per language): rank by
+    md5(seed || doc_id) — a uniform draw any engine reproduces
+    bit-for-bit, unlike DataFrame.sample whose seed is stable only for a
+    fixed partition layout (operators/curation.py:stratified_sample)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang"
+    )
+    return CU.stratified_sample(docs, 5).select(
+        "lang", F.col("rn").cast("bigint").alias("rn"), "doc_id"
+    )
 
 
 @_register(

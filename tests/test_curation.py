@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.operators import curation as CU
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    eval_docs = spark.createDataFrame(
+        [("e1", "alpha beta gamma delta")], "doc_id string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "zzz alpha beta gamma delta yyy"),  # shares both eval 3-grams
+            ("c2", "alpha beta something else entirely"),  # no full 3-gram
+            ("c3", "totally clean document here"),
+            ("c4", "xx"),  # shorter than one shingle
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in CU.decontaminate(corpus, eval_docs, shingle_n=3).collect()
+    }
+    assert out == {
+        "c1": (2, True),
+        "c2": (0, False),
+        "c3": (0, False),
+        "c4": (0, False),
+    }
+
+
+def test_decontaminate_broadcast_off_same_answer(spark):
+    eval_docs = spark.createDataFrame(
+        [("e1", "alpha beta gamma delta")], "doc_id string, text string"
+    )
+    corpus = spark.createDataFrame(
+        [("c1", "zzz alpha beta gamma yyy"), ("c3", "totally clean doc here")],
+        "doc_id string, text string",
+    )
+    a = CU.decontaminate(corpus, eval_docs, shingle_n=3).collect()
+    b = CU.decontaminate(
+        corpus, eval_docs, shingle_n=3, broadcast_eval=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_mixture_weights_reshapes_to_target(spark):
+    # en: 2 docs x 3 tokens = 6; zh: 1 doc x 2 tokens = 2 -> shares .75/.25
+    docs = spark.createDataFrame(
+        [
+            ("d1", "one two three", "en"),
+            ("d2", "four five six", "en"),
+            ("d3", "qi ba", "zh"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    out = {
+        r["lang"]: r
+        for r in CU.mixture_weights(docs, {"en": 0.5, "zh": 0.5}).collect()
+    }
+    assert out["en"]["tokens"] == 6 and out["en"]["n_docs"] == 2
+    assert abs(out["en"]["token_share"] - 0.75) < 1e-12
+    assert abs(out["en"]["weight"] - 0.5 / 0.75) < 1e-12
+    assert abs(out["zh"]["token_share"] - 0.25) < 1e-12
+    assert abs(out["zh"]["weight"] - 2.0) < 1e-12
+    # a group absent from the target gets weight 0 (dropped at sampling)
+    out2 = {
+        r["lang"]: r["weight"]
+        for r in CU.mixture_weights(docs, {"en": 1.0}).collect()
+    }
+    assert out2["zh"] == 0.0
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    rows = [(f"d{i}", "text", "en" if i % 2 else "zh") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    s1 = CU.stratified_sample(docs, 3).collect()
+    s2 = CU.stratified_sample(docs, 3).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # seeded => stable
+    per_lang = {}
+    for r in s1:
+        per_lang.setdefault(r["lang"], []).append(r["rn"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_lang.values())
+    # k beyond stratum size keeps the whole stratum
+    small = docs.filter(F.col("lang") == "zh").limit(2)
+    assert CU.stratified_sample(small, 99).count() == 2
+    # a different seed draws a different sample
+    s3 = CU.stratified_sample(docs, 3, seed="other").collect()
+    assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}

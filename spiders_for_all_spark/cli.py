@@ -21,6 +21,8 @@ xhs/cli.py:129)        media *paths* travel through the plan
 ``download-by-author`` ``download-by-host HOST`` — the site model's
 (bilibili/cli.py:261)  grouping key is the host: fetch all its media
 (no reference analog)  ``maintain`` — compaction + snapshot expiry
+(no reference analog)  ``curate`` — corpus freeze: dedup ->
+                       decontaminate -> quality floor -> stratified sample
 ``database sql``       ``sql`` — passthrough over sf-dir parquet views
 (database/cli.py:90)   and/or warehouse snapshot tables
 ``database             ``list-schema`` — table -> schema/snapshot listing
@@ -303,6 +305,72 @@ def cmd_download_by_host(ns: argparse.Namespace) -> int:
     return _fetch_media(ns, sel)
 
 
+def _corpus_docs(spark: SparkSession, ns: argparse.Namespace) -> DataFrame:
+    """documents as (doc_id, text[, lang]) from either source: an sf-dir
+    parquet (columns already flat) or a crawl warehouse (span text
+    concatenated in document order)."""
+    if ns.sf_dir:
+        d = spark.read.parquet(os.path.join(ns.sf_dir, "documents.parquet"))
+        return d.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+        )
+    from spiders_for_all_spark.storage import SnapshotStorage
+
+    storage = SnapshotStorage(spark, ns.warehouse)
+    return (
+        storage.read("documents")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform("spans", lambda s: s["text"])
+            ).alias("text"),
+        )
+        .filter(F.length("text") > 0)
+    )
+
+
+def cmd_curate(ns: argparse.Namespace) -> int:
+    """`curate` — the corpus-freeze pipeline over crawled documents:
+    near-dedup -> optional eval-set decontamination -> quality floor ->
+    optional seeded stratified sample (operators/curation.py).  The
+    reference stores raw scraped rows with no curation stage at all."""
+    from spiders_for_all_spark.operators.curation import curate_corpus
+
+    if not ns.sf_dir and not ns.warehouse:
+        print("curate needs --sf-dir or --warehouse", file=sys.stderr)
+        return 2
+    spark = build_session(master=ns.master)
+    docs = _corpus_docs(spark, ns)
+    eval_docs = (
+        spark.read.parquet(ns.eval).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        if ns.eval
+        else None
+    )
+    curated = curate_corpus(
+        docs,
+        eval_docs=eval_docs,
+        min_quality=ns.min_quality,
+        sample_k=ns.sample_k,
+        decon_shingle_n=ns.decon_ngram,
+    )
+    if ns.out:
+        curated.write.mode("overwrite").parquet(ns.out)
+        print(
+            json.dumps(
+                {
+                    "in_docs": docs.count(),
+                    "out_docs": spark.read.parquet(ns.out).count(),
+                    "out": ns.out,
+                }
+            )
+        )
+    else:
+        _emit(curated, ns.format, None, ns.limit)
+    return 0
+
+
 def cmd_maintain(ns: argparse.Namespace) -> int:
     """Warehouse maintenance: size-tiered compaction (MoR delta fold for
     merge tables) + snapshot expiry, per table, one JSON summary line.
@@ -382,6 +450,25 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--warehouse", required=True)
     m.add_argument("--keep-last", type=int, default=2)
 
+    cu = sub.add_parser(
+        "curate",
+        help="corpus freeze: dedup -> decontaminate -> quality -> sample",
+    )
+    cu.add_argument("--sf-dir", default=None,
+                    help="flat documents.parquet dir (doc_id, text, lang)")
+    cu.add_argument("--warehouse", default=None,
+                    help="crawl warehouse (span text concatenated)")
+    cu.add_argument("--eval", default=None,
+                    help="parquet of eval docs to decontaminate against")
+    cu.add_argument("--decon-ngram", type=int, default=13,
+                    help="collision n-gram size (GPT-3 uses 13)")
+    cu.add_argument("--min-quality", type=float, default=None)
+    cu.add_argument("--sample-k", type=int, default=None,
+                    help="seeded exact-k per-language sample")
+    cu.add_argument("--out", default=None, help="curated parquet sink")
+    cu.add_argument("--limit", type=int, default=None)
+    cu.add_argument("--format", default="table")
+
     for p in dl_common:
         p.add_argument("--sf-dir", default=None,
                        help="driver testdata dir to register as views")
@@ -404,6 +491,7 @@ def main(argv: list[str] | None = None) -> int:
         "download-by-ids": cmd_download_by_ids,
         "download-by-host": cmd_download_by_host,
         "maintain": cmd_maintain,
+        "curate": cmd_curate,
     }[ns.cmd](ns)
 
 

@@ -98,6 +98,52 @@ def mixture_weights(
     )
 
 
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    min_quality: float | None = None,
+    sample_k: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    decon_shingle_n: int = 13,
+) -> DataFrame:
+    """The corpus-freeze composition every pretraining pipeline runs:
+    near-dedup (keep cluster representatives) -> eval-set decontamination
+    -> quality floor -> optional stratified sample.
+
+    Each stage is one of this module's / textdedup's oracle-checked
+    operators; the composition stays lazy (one DataFrame out — callers
+    write it once).  Docs dropped at each stage are dropped by left-anti
+    joins on bounded id sets (dup non-representatives, contaminated ids),
+    so the corpus is never shuffled wider than the dedup pair graph.
+    """
+    from spiders_for_all_spark.functions.text import lang_id, quality_score
+    from spiders_for_all_spark.operators.textdedup import minhash_dup_clusters
+
+    clusters = minhash_dup_clusters(docs, text_col, id_col)
+    non_reps = clusters.filter(F.col(id_col) != F.col("component")).select(
+        id_col
+    )
+    out = docs.join(non_reps, on=id_col, how="left_anti")
+    if eval_docs is not None:
+        bad = (
+            decontaminate(
+                out, eval_docs, text_col, id_col, decon_shingle_n
+            )
+            .filter(F.col("contaminated"))
+            .select(id_col)
+        )
+        out = out.join(bad, on=id_col, how="left_anti")
+    if min_quality is not None:
+        out = out.filter(quality_score(F.col(text_col)) >= min_quality)
+    if sample_k is not None:
+        if group_col not in out.columns:
+            out = out.withColumn(group_col, lang_id(F.col(text_col)))
+        out = stratified_sample(out, sample_k, group_col, id_col).drop("rn")
+    return out
+
+
 def stratified_sample(
     corpus: DataFrame,
     k: int,

@@ -169,3 +169,38 @@ def test_download_by_sql_requires_url_column(tmp_path):
         "download-by-sql", "SELECT 1 AS x",
         "--site", site, "--save-dir", str(tmp_path / "m"),
     ]) == 2
+
+
+def test_curate_corpus_freeze(spark, capsys, tmp_path):
+    """curate over the sf documents: dedup + decontamination + quality
+    floor + seeded sample compose into one written corpus."""
+    # eval set = two real docs copied out of the corpus, so decontamination
+    # must flag their near-verbatim sources
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    eval_path = str(tmp_path / "eval")
+    docs.limit(2).select("doc_id", "text").write.parquet(eval_path)
+    out = str(tmp_path / "curated")
+    assert main([
+        "curate", "--sf-dir", SF_DIR, "--eval", eval_path,
+        "--decon-ngram", "3", "--min-quality", "0.1",
+        "--sample-k", "3", "--out", out,
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["in_docs"] == docs.count()
+    curated = spark.read.parquet(out)
+    n = curated.count()
+    assert 0 < n == stats["out_docs"] <= stats["in_docs"]
+    # sample-k bound: at most 3 docs per language survive
+    per_lang = curated.groupBy("lang").count().collect()
+    assert all(r["count"] <= 3 for r in per_lang)
+    # the eval docs themselves were flagged out (they collide with
+    # themselves via their source doc)
+    eval_ids = {r["doc_id"] for r in spark.read.parquet(eval_path)
+                .select("doc_id").collect()}
+    kept = {r["doc_id"] for r in curated.select(
+        curated.doc_id.cast("string").alias("doc_id")).collect()}
+    assert not (eval_ids & {str(k) for k in kept})
+
+
+def test_curate_requires_source(capsys):
+    assert main(["curate"]) == 2

@@ -1,0 +1,297 @@
+"""Corpus-cleaning operators: passage-level exact-substring dedup, PII
+scrubbing, repetition-based quality signals, domain-blocklist filtering,
+corpus shape statistics.
+
+First-class training-data-pipeline components (the reference stores raw
+scraped rows and never cleans them — core/spider.py:196-236); these are
+the cleaning stages a 100 TB pre-training corpus runs between crawl and
+freeze.  Design constraints at scale:
+
+* Passage dedup (the Lee-et-al-style "exact substring" pass, done at
+  passage granularity) shuffles only (hash, id, pos) triples — never the
+  passage text twice: the keeper election is a partial-aggregatable
+  ``min(struct)`` per passage hash (map-side combine absorbs the
+  boilerplate-passage skew that would hot-spot a window's sort), and the
+  reassembly groupBy rides the same doc-keyed shuffle every per-doc agg
+  uses.
+* PII scrubbing and repetition signals are pure Catalyst expressions —
+  zero shuffles, zero Python; they run inside whole-stage codegen at
+  scan speed.
+* Blocklist filtering broadcasts the blocklist (UT1-class lists are a
+  few million short strings — comfortably under the broadcast limit) and
+  resolves matches with one map-side hash join over exploded host
+  suffixes plus one partial-agg bool_or; the corpus is never shuffled on
+  a non-key column.  If the blocklist outgrows broadcast, swap the hash
+  join for a bloom-filter map-side prefilter (operators/dedup.py) and
+  exact-confirm the survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.functions.text import (
+    normalize_text,
+    shingles,
+    token_count,
+    words,
+)
+
+# PII patterns written in the Java-regex / RE2 common dialect (no
+# backreferences, no lookaround) so the DuckDB oracle runs the very same
+# strings.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact-substring dedup
+
+
+def passage_array(text: Column, n_words: int = 12) -> Column:
+    """Split a document into fixed ``n_words``-word passages (array<string>).
+
+    The deterministic passage grid makes "exact substring" dedup a pure
+    equality problem: two documents sharing a duplicated region produce
+    byte-identical passage strings, which dedup by hash without any
+    alignment search.
+    """
+    w = words(text)
+    n_chunks = F.ceil(F.size(w) / F.lit(float(n_words))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, (i * n_words + 1).cast("int"), n_words)
+        ),
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 12,
+) -> DataFrame:
+    """Corpus-wide passage-level exact dedup: keep each distinct passage's
+    first occurrence (min (id, pos) order), drop every later copy, and
+    reassemble the surviving text per document.
+
+    Returns (id, n_passages, n_kept, text_kept).  The keeper election is
+    ``min(struct(id, pos))`` grouped by passage hash — a partial
+    aggregation, so a boilerplate passage repeated a billion times
+    collapses map-side instead of hot-spotting one reducer the way a
+    ``row_number`` window would.
+    """
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(passage_array(F.col(text_col), n_words)).alias(
+            "pos", "passage"
+        ),
+    ).withColumn("h", F.md5("passage"))
+    keepers = paras.groupBy("h").agg(
+        F.min(F.struct("_id", "pos")).alias("k")
+    )
+    flagged = paras.join(keepers, "h").withColumn(
+        "kept",
+        (F.col("_id") == F.col("k._id")) & (F.col("pos") == F.col("k.pos")),
+    )
+    return flagged.groupBy("_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"), F.struct("pos", "passage")
+                        )
+                    )
+                ),
+                lambda s: s.getField("passage"),
+            ),
+        ).alias("text_kept"),
+    ).withColumnRenamed("_id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)),
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace emails / IPv4s / NANP-style phone numbers with typed tags.
+
+    Order matters: emails first (an address can embed digit runs), then
+    IPs, then phones.  All three patterns are RE2-safe so the DuckDB
+    oracle is the same regex text.
+    """
+    scrubbed = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, IPV4_RE, "<IP>")
+    return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+
+
+def scrub_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document scrub + per-type redaction counts (audit columns a
+    compliance pass needs).  Pure projection — runs at scan speed."""
+    t = F.col(text_col)
+    c = pii_counts(t)
+    return df.select(
+        F.col(id_col),
+        pii_scrub(t).alias("text_scrubbed"),
+        c["n_emails"].alias("n_emails"),
+        c["n_ips"].alias("n_ips"),
+        c["n_phones"].alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+
+
+def dup_word_fraction(text: Column) -> Column:
+    w = words(text)
+    return F.round(
+        1
+        - F.size(F.array_distinct(w))
+        / F.greatest(F.size(w), F.lit(1)).cast("double"),
+        6,
+    )
+
+
+def top_bigram_fraction(text: Column) -> Column:
+    """Fraction of all word bigrams taken by the single most frequent one.
+
+    Computed entirely expression-side (no explode, no shuffle): for each
+    distinct bigram, count its occurrences with a filtered array scan.
+    O(distinct x total) per row — documents are bounded, corpora are not,
+    so per-row arithmetic beats a per-corpus shuffle at any scale.
+    """
+    bg = shingles(text, 2)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda d: F.size(F.filter(bg, lambda x: x == d)),
+        )
+    )
+    return F.when(F.size(bg) <= 0, F.lit(0.0)).otherwise(
+        F.round(top / F.size(bg).cast("double"), 6)
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_word_frac: float = 0.8,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """Per-document repetition metrics + the Gopher-rule keep flag
+    (C4/Gopher-style repetitious-text filters; thresholds parameterized).
+    """
+    t = F.col(text_col)
+    dwf = dup_word_fraction(t)
+    tbf = top_bigram_fraction(t)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_words"),
+        dwf.alias("dup_word_frac"),
+        tbf.alias("top_bigram_frac"),
+        (
+            (dwf <= F.lit(max_dup_word_frac))
+            & (tbf <= F.lit(max_top_bigram_frac))
+        ).alias("repetition_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-blocklist filtering
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname: a.b.example.com ->
+    [a.b.example.com, b.example.com, example.com, com]."""
+    parts = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(
+            F.slice(parts, i.cast("int"), F.size(parts) - i + 1), "."
+        ),
+    )
+
+
+def blocklist_filter(
+    frontier: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    domain_col: str = "domain",
+    keep_blocked: bool = False,
+    broadcast_blocked: bool = True,
+) -> DataFrame:
+    """Drop (or select, with ``keep_blocked=True``) rows whose host falls
+    under any blocklisted domain suffix (UT1-blocklist semantics: blocking
+    example.com blocks every subdomain).
+
+    Blocking is a property of the HOST, so the match runs over distinct
+    hosts, never rows: distinct hosts (a bounded column-only partial-agg
+    shuffle) -> explode suffixes -> map-side broadcast hash join against
+    the blocklist -> the (small) set of blocked hosts -> broadcast
+    semi/anti join back onto the corpus.  With ``broadcast_blocked`` on
+    (default) the corpus itself is never shuffled; turn it off if the
+    blocklist matches an unbounded host set and let AQE pick the strategy.
+    """
+    host = F.col(host_col)
+    bl = F.broadcast(blocklist.select(F.col(domain_col).alias("_suf")))
+    blocked_hosts = (
+        frontier.select(host.alias("_host"))
+        .distinct()
+        .select("_host", F.explode(host_suffixes(F.col("_host"))).alias("_suf"))
+        .join(bl, "_suf", "left_semi")
+        .select("_host")
+        .distinct()
+    )
+    if broadcast_blocked:
+        blocked_hosts = F.broadcast(blocked_hosts)
+    how = "left_semi" if keep_blocked else "left_anti"
+    return frontier.join(
+        blocked_hosts, on=host == F.col("_host"), how=how
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus shape statistics
+
+
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", group_cols: tuple[str, ...] = ("lang",)
+) -> DataFrame:
+    """Token-length histogram per group: power-of-two length buckets with
+    doc/token tallies — the corpus-shape summary a mixture planner reads.
+    One partial-aggregatable groupBy over #groups x #buckets cells."""
+    n_tok = token_count(F.col(text_col))
+    # binary magnitude, not floor(log2): integer-exact on every engine,
+    # immune to float-ulp edges at exact powers of two
+    bucket = (
+        F.length(F.bin(F.greatest(n_tok, F.lit(1)).cast("bigint"))) - 1
+    ).cast("int")
+    return (
+        df.select(*group_cols, n_tok.alias("n_tok"), bucket.alias("len_bucket"))
+        .groupBy(*group_cols, "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )

@@ -1746,3 +1746,258 @@ def ann_lsh_topk_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk_materialized(
         spark, path, _query_vec(spark, sf_dir), k=10, n_planes=6, dim=64
     )
+
+
+# ===========================================================================
+# Corpus-cleaning operators (operators/cleaning.py): passage-level exact
+# dedup, PII scrubbing, repetition signals, blocklist filtering, corpus
+# stats.  No reference counterpart (the reference never cleans what it
+# stores — core/spider.py:196-236); these are the stages between crawl
+# and training-data freeze.
+
+
+_PASSAGE_N = 12
+
+_PASSAGES_SQL = f"""
+    SELECT doc_id, CAST(u.i AS INT) AS pos,
+           array_to_string(w[(u.i*{_PASSAGE_N}+1):(u.i*{_PASSAGE_N}+{_PASSAGE_N})], ' ') AS passage
+    FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+         UNNEST(range(CAST(ceil(len(w)/{_PASSAGE_N}.0) AS BIGINT))) AS u(i)
+"""
+
+
+@_register(
+    "clean_passage_dedup",
+    f"""
+    WITH paras AS ({_PASSAGES_SQL}),
+    hashed AS (SELECT doc_id, pos, passage, md5(passage) AS h FROM paras),
+    keep AS (SELECT h, min(doc_id * 1000000 + pos) AS k FROM hashed GROUP BY h),
+    flagged AS (
+      SELECT d.doc_id, d.pos, d.passage,
+             (d.doc_id * 1000000 + d.pos = keep.k) AS kept
+      FROM hashed d JOIN keep ON d.h = keep.h)
+    SELECT doc_id, count(*) AS n_passages,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(passage, ' ' ORDER BY pos)
+                            FILTER (WHERE kept), '')) AS kept_fp
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def clean_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage-level exact-substring dedup (Lee et al.-style,
+    at a deterministic 12-word passage grid): first occurrence of each
+    distinct passage wins; documents are reassembled from survivors.
+    Keeper election is a partial-agg min(struct) — boilerplate passages
+    collapse map-side instead of hot-spotting one reducer."""
+    from spiders_for_all_spark.operators.cleaning import passage_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = passage_dedup(d, n_words=_PASSAGE_N)
+    return out.select(
+        "doc_id", "n_passages", "n_kept", F.md5("text_kept").alias("kept_fp")
+    )
+
+
+# Deterministic synthetic PII (the driver corpus contains none): contact
+# fragments derived from doc_id, built with identical expressions on both
+# sides so the scrub regexes are exercised on real matches.
+_PII_AUG_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 > 0
+                THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END
+           || CASE WHEN doc_id % 4 > 0
+                THEN ' from 10.' || (doc_id % 200) || '.' || (doc_id % 250) || '.7'
+                ELSE '' END
+           || CASE WHEN doc_id % 5 > 0
+                THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                     || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+    FROM documents
+"""
+
+
+@_register(
+    "clean_pii_scrub",
+    f"""
+    WITH aug AS ({_PII_AUG_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')) AS scrub_fp
+    FROM aug
+    """,
+)
+def clean_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with per-type redaction counts — pure Catalyst
+    projection (zero shuffles); patterns are in the Java/RE2 common
+    dialect so the oracle runs the identical regex text."""
+    from spiders_for_all_spark.operators.cleaning import scrub_documents
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 > 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 4 > 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 200).cast("string"),
+                    F.lit("."),
+                    (did % 250).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 5 > 0,
+                F.concat(
+                    F.lit(" tel 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    out = scrub_documents(aug)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5("text_scrubbed").alias("scrub_fp"),
+    )
+
+
+def _repetition_sql() -> str:
+    bg = (
+        f"list_transform(range(1, greatest(len({_WORDS_SQL}), 1)), "
+        f"i -> {_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i+1])"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len({_WORDS_SQL}) AS n_words,
+             round(1 - len(list_distinct({_WORDS_SQL}))
+                   / CAST(greatest(len({_WORDS_SQL}), 1) AS DOUBLE), 6) AS dup_word_frac,
+             {bg} AS bg
+      FROM documents)
+    SELECT doc_id, n_words, dup_word_frac,
+           CASE WHEN len(bg) <= 0 THEN 0.0
+                ELSE round(list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d))))
+                     / CAST(len(bg) AS DOUBLE), 6) END AS top_bigram_frac,
+           (dup_word_frac <= 0.8
+            AND CASE WHEN len(bg) <= 0 THEN 0.0
+                ELSE round(list_max(list_transform(list_distinct(bg),
+                         d -> len(list_filter(bg, x -> x = d))))
+                     / CAST(len(bg) AS DOUBLE), 6) END <= 0.18) AS repetition_ok
+    FROM base
+    """
+
+
+@_register("clean_repetition", _repetition_sql())
+def clean_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-word fraction, top-bigram
+    fraction) + keep flag — per-row expression arithmetic, no explode, no
+    shuffle: per-corpus work stays O(rows), embarrassingly parallel."""
+    from spiders_for_all_spark.operators.cleaning import repetition_signals
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_signals(d)
+
+
+_BLOCKED_DOMAINS = ["src1.example.com", "example.net"]
+
+
+@_register(
+    "clean_blocklist_filter",
+    f"""
+    WITH frontier AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             lang || '.' || source || '.example.com' AS host,
+             'https://' || lang || '.' || source || '.example.com/doc?id='
+                 || doc_id AS url
+      FROM documents),
+    bl AS (SELECT * FROM (VALUES {", ".join(f"('{d}')" for d in _BLOCKED_DOMAINS)}) t(domain))
+    SELECT doc_id, host, url FROM frontier f
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bl
+      WHERE f.host = bl.domain OR f.host LIKE '%.' || bl.domain)
+    """,
+)
+def clean_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain-suffix blocklist filter: blocking example.com
+    blocks every subdomain.  Match runs over DISTINCT hosts (column-only
+    partial-agg shuffle) and rejoins via broadcast — the corpus itself is
+    never shuffled."""
+    from spiders_for_all_spark.operators.cleaning import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    frontier = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("lang"), F.lit("."), F.col("source"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://"),
+            F.col("lang"),
+            F.lit("."),
+            F.col("source"),
+            F.lit(".example.com/doc?id="),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [(dom,) for dom in _BLOCKED_DOMAINS], ["domain"]
+    )
+    return blocklist_filter(frontier, bl).select("doc_id", "host", "url")
+
+
+@_register(
+    "clean_corpus_stats",
+    f"""
+    WITH toks AS (
+      SELECT lang, len({_WORDS_SQL}) AS n_tok,
+             CAST(length(bin(greatest(len({_WORDS_SQL}), 1))) - 1 AS INT)
+                 AS len_bucket
+      FROM documents)
+    SELECT lang, len_bucket, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(n_tok) AS INT) AS min_tok, CAST(max(n_tok) AS INT) AS max_tok
+    FROM toks GROUP BY lang, len_bucket
+    """,
+)
+def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape summary: power-of-two token-length histogram per
+    language (the mixture planner's input).  Bucket = binary magnitude
+    (length(bin(n))-1) — integer-exact on both engines, immune to
+    floor(log2) float-ulp edges at exact powers of two."""
+    from spiders_for_all_spark.operators.cleaning import corpus_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = corpus_stats(d, group_cols=("lang",))
+    return out.select(
+        "lang",
+        "len_bucket",
+        "n_docs",
+        "total_tokens",
+        F.col("min_tok").cast("int").alias("min_tok"),
+        F.col("max_tok").cast("int").alias("max_tok"),
+    )

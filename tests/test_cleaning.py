@@ -1,0 +1,153 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.operators import cleaning as CL
+
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    # p1 = 4-word passage "a b c d"; doc 1 and doc 3 share it; doc 1 wins
+    # (min (doc_id, pos)); doc 3's later unique passage survives.
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x y z w q r s t"),
+            (3, "a b c d only here tail words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["text_kept"])
+        for r in CL.passage_dedup(corpus, n_words=4).collect()
+    }
+    assert out[1] == (2, 2, "a b c d e f g h")
+    assert out[2] == (2, 2, "x y z w q r s t")
+    assert out[3] == (2, 1, "only here tail words")
+
+
+def test_passage_dedup_within_doc_repeat(spark):
+    # the same passage repeated inside ONE document also dedups (pos order)
+    corpus = spark.createDataFrame(
+        [(7, "a b a b a b")], "doc_id bigint, text string"
+    )
+    row = CL.passage_dedup(corpus, n_words=2).collect()[0]
+    assert (row["n_passages"], row["n_kept"], row["text_kept"]) == (
+        3,
+        1,
+        "a b",
+    )
+
+
+def test_passage_array_tail_chunk(spark):
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    arr = df.select(
+        CL.passage_array(F.col("text"), 2).alias("p")
+    ).collect()[0]["p"]
+    assert arr == ["a b", "c d", "e"]
+
+
+def test_pii_scrub_replaces_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.001.5 port"),
+            (3, "call 555-867-5309 twice: 555-867-5309"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_emails"],
+            r["n_ips"],
+            r["n_phones"],
+            r["text_scrubbed"],
+        )
+        for r in CL.scrub_documents(df).collect()
+    }
+    assert out[1] == (1, 0, 0, "mail <EMAIL> now")
+    assert out[2] == (0, 1, 0, "server at <IP> port")
+    assert out[3] == (0, 0, 2, "call <PHONE> twice: <PHONE>")
+    assert out[4] == (0, 0, 0, "clean text with no pii at all")
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # 1 word, 1 bigram
+            (2, "all words here are fully distinct tokens"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["dup_word_frac"],
+            r["top_bigram_frac"],
+            r["repetition_ok"],
+        )
+        for r in CL.repetition_signals(df).collect()
+    }
+    # doc 1: 6 words, 1 distinct -> dup 5/6; bigrams all "spam spam"
+    assert out[1] == (round(1 - 1 / 6, 6), 1.0, False)
+    assert out[2] == (0.0, round(1 / 6, 6), True)
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("u1", "ads.tracker.net"),
+            ("u2", "sub.ads.tracker.net"),
+            ("u3", "tracker.net"),
+            ("u4", "nottracker.net"),  # no dot boundary -> NOT blocked
+            ("u5", "fine.example.org"),
+        ],
+        "url string, host string",
+    )
+    bl = spark.createDataFrame([("tracker.net",)], ["domain"])
+    kept = {
+        r["url"] for r in CL.blocklist_filter(frontier, bl).collect()
+    }
+    assert kept == {"u4", "u5"}
+    blocked = {
+        r["url"]
+        for r in CL.blocklist_filter(
+            frontier, bl, keep_blocked=True
+        ).collect()
+    }
+    assert blocked == {"u1", "u2", "u3"}
+
+
+def test_blocklist_filter_corpus_not_shuffled(spark):
+    """Plan shape: with the default broadcast_blocked, the corpus leg joins
+    via BroadcastHashJoin — no exchange on the frontier side."""
+    frontier = spark.createDataFrame(
+        [("u1", "a.net"), ("u2", "b.org")], "url string, host string"
+    )
+    bl = spark.createDataFrame([("a.net",)], ["domain"])
+    plan = CL.blocklist_filter(frontier, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_stats_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "one"),  # 1 token -> bucket 0
+            ("en", "a b c"),  # 3 tokens -> bucket 1
+            ("en", "a b c d"),  # 4 tokens -> bucket 2 (exact power of two)
+            ("de", "w x y z u v q r"),  # 8 tokens -> bucket 3
+        ],
+        "lang string, text string",
+    )
+    out = {
+        (r["lang"], r["len_bucket"]): (
+            r["n_docs"],
+            r["total_tokens"],
+            r["min_tok"],
+            r["max_tok"],
+        )
+        for r in CL.corpus_stats(df).collect()
+    }
+    assert out[("en", 0)] == (1, 1, 1, 1)
+    assert out[("en", 1)] == (1, 3, 3, 3)
+    assert out[("en", 2)] == (1, 4, 4, 4)
+    assert out[("de", 3)] == (1, 8, 8, 8)

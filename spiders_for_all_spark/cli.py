@@ -312,7 +312,10 @@ def _corpus_docs(spark: SparkSession, ns: argparse.Namespace) -> DataFrame:
     if ns.sf_dir:
         d = spark.read.parquet(os.path.join(ns.sf_dir, "documents.parquet"))
         return d.select(
-            F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            "lang",
+            "source",
         )
     from spiders_for_all_spark.storage import SnapshotStorage
 
@@ -348,12 +351,35 @@ def cmd_curate(ns: argparse.Namespace) -> int:
         if ns.eval
         else None
     )
+    blocklist = None
+    if ns.blocklist:
+        reader = spark.read
+        blocklist = (
+            reader.parquet(ns.blocklist)
+            if ns.blocklist.endswith(".parquet")
+            else reader.option("header", "true").csv(ns.blocklist)
+        )
+        if "host" not in docs.columns:
+            # best-effort host: sf-dir corpora carry source; crawled docs
+            # may use URL doc_ids — suffix matching works on either
+            from spiders_for_all_spark.functions.urls import url_host
+
+            docs = docs.withColumn(
+                "host",
+                F.col("source")
+                if "source" in docs.columns
+                else url_host(F.col("doc_id")),
+            )
     curated = curate_corpus(
         docs,
         eval_docs=eval_docs,
         min_quality=ns.min_quality,
         sample_k=ns.sample_k,
         decon_shingle_n=ns.decon_ngram,
+        blocklist=blocklist,
+        repetition_filter=ns.repetition_filter,
+        passage_n=ns.passage_dedup,
+        scrub_pii=ns.scrub_pii,
     )
     if ns.out:
         curated.write.mode("overwrite").parquet(ns.out)
@@ -465,6 +491,14 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-quality", type=float, default=None)
     cu.add_argument("--sample-k", type=int, default=None,
                     help="seeded exact-k per-language sample")
+    cu.add_argument("--blocklist", default=None,
+                    help="parquet/csv of blocked domain suffixes (col: domain)")
+    cu.add_argument("--repetition-filter", action="store_true",
+                    help="drop Gopher-style repetitious documents")
+    cu.add_argument("--passage-dedup", type=int, default=None, metavar="N",
+                    help="passage-level exact dedup on an N-word grid")
+    cu.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPs/phones in the frozen text")
     cu.add_argument("--out", default=None, help="curated parquet sink")
     cu.add_argument("--limit", type=int, default=None)
     cu.add_argument("--format", default="table")

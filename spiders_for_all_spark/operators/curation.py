@@ -107,25 +107,62 @@ def curate_corpus(
     id_col: str = "doc_id",
     group_col: str = "lang",
     decon_shingle_n: int = 13,
+    blocklist: DataFrame | None = None,
+    host_col: str = "host",
+    repetition_filter: bool = False,
+    passage_n: int | None = None,
+    scrub_pii: bool = False,
 ) -> DataFrame:
     """The corpus-freeze composition every pretraining pipeline runs:
-    near-dedup (keep cluster representatives) -> eval-set decontamination
-    -> quality floor -> optional stratified sample.
+    domain blocklist -> repetition filter -> near-dedup (keep cluster
+    representatives) -> passage-level exact dedup -> eval-set
+    decontamination -> quality floor -> PII scrub -> optional stratified
+    sample.
 
-    Each stage is one of this module's / textdedup's oracle-checked
-    operators; the composition stays lazy (one DataFrame out — callers
-    write it once).  Docs dropped at each stage are dropped by left-anti
-    joins on bounded id sets (dup non-representatives, contaminated ids),
-    so the corpus is never shuffled wider than the dedup pair graph.
+    Each stage is one of this module's / textdedup's / cleaning's
+    oracle-checked operators; the composition stays lazy (one DataFrame
+    out — callers write it once).  Stage order is the cheap-first order a
+    100 TB freeze wants: expression-only filters (blocklist, repetition)
+    prune before any shuffle, document-level dedup prunes before the
+    wider passage-level pass, and the text rewrites (passage reassembly,
+    PII scrub) run on the smallest surviving set.  Docs dropped at each
+    stage are dropped by left-anti joins on bounded id sets, so the
+    corpus is never shuffled wider than the dedup pair graph.
     """
     from spiders_for_all_spark.functions.text import lang_id, quality_score
+    from spiders_for_all_spark.operators.cleaning import (
+        blocklist_filter,
+        dup_word_fraction,
+        passage_dedup,
+        pii_scrub,
+        top_bigram_fraction,
+    )
     from spiders_for_all_spark.operators.textdedup import minhash_dup_clusters
 
-    clusters = minhash_dup_clusters(docs, text_col, id_col)
+    out = docs
+    if blocklist is not None:
+        out = blocklist_filter(out, blocklist, host_col=host_col)
+    if repetition_filter:
+        t = F.col(text_col)
+        out = out.filter(
+            (dup_word_fraction(t) <= 0.8) & (top_bigram_fraction(t) <= 0.18)
+        )
+    clusters = minhash_dup_clusters(out, text_col, id_col)
     non_reps = clusters.filter(F.col(id_col) != F.col("component")).select(
         id_col
     )
-    out = docs.join(non_reps, on=id_col, how="left_anti")
+    out = out.join(non_reps, on=id_col, how="left_anti")
+    if passage_n is not None:
+        kept = passage_dedup(out, text_col, id_col, passage_n).select(
+            id_col, F.col("text_kept"), F.col("n_kept")
+        )
+        out = (
+            out.drop(text_col)
+            .join(kept, on=id_col)
+            .filter(F.col("n_kept") > 0)
+            .withColumnRenamed("text_kept", text_col)
+            .drop("n_kept")
+        )
     if eval_docs is not None:
         bad = (
             decontaminate(
@@ -137,6 +174,8 @@ def curate_corpus(
         out = out.join(bad, on=id_col, how="left_anti")
     if min_quality is not None:
         out = out.filter(quality_score(F.col(text_col)) >= min_quality)
+    if scrub_pii:
+        out = out.withColumn(text_col, pii_scrub(F.col(text_col)))
     if sample_k is not None:
         if group_col not in out.columns:
             out = out.withColumn(group_col, lang_id(F.col(text_col)))

@@ -151,3 +151,35 @@ def test_corpus_stats_buckets(spark):
     assert out[("en", 1)] == (1, 3, 3, 3)
     assert out[("en", 2)] == (1, 4, 4, 4)
     assert out[("de", 3)] == (1, 8, 8, 8)
+
+
+def test_curate_corpus_with_cleaning_stages(spark):
+    """curate_corpus composes the cleaning stages: blocklist drops a host,
+    repetition filter drops spam, passage dedup rewrites text, pii scrub
+    redacts — and the surviving docs keep their ids."""
+    from spiders_for_all_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "good.org", "alpha beta gamma delta mail me a@b.io ok"),
+            ("2", "spam.net", "normal words in here totally fine text"),
+            ("3", "good.org", "spam spam spam spam spam spam spam spam"),
+            ("4", "good.org", "alpha beta gamma delta trailing unique part"),
+        ],
+        "doc_id string, host string, text string",
+    )
+    bl = spark.createDataFrame([("spam.net",)], ["domain"])
+    out = curate_corpus(
+        docs,
+        blocklist=bl,
+        repetition_filter=True,
+        passage_n=4,
+        scrub_pii=True,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 2 blocked by domain, doc 3 dropped as repetitious
+    assert set(rows) == {"1", "4"}
+    # doc 1 kept the shared passage (first occurrence) + its scrubbed email
+    assert "<EMAIL>" in rows["1"] and "a@b.io" not in rows["1"]
+    # doc 4 lost the passage doc 1 already owns
+    assert "alpha" not in rows["4"] and "trailing unique part" in rows["4"]

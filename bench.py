@@ -295,6 +295,7 @@ def main() -> None:
         "ann_brute_force_topk",
         "ann_lsh_topk",
         "text_quality",
+        "clean_passage_dedup",
         "windowed_event_counts",
         "sessionize_events",
     ]

@@ -32,3 +32,96 @@ def docs_from_parsed(parsed_ok: DataFrame) -> DataFrame:
         F.array_sort(F.col("d.spans"), by_offset).alias("spans"),
     )
     return exploded.groupBy("doc_id").agg(F.max("spans").alias("spans"))
+
+
+# ---------------------------------------------------------------------------
+# Span-native operators over the canonical interleaved table.
+#
+# The input_hint's payload IS the span array — these operate on the nested
+# structure directly (pure Catalyst array expressions, zero explodes in the
+# rewrite path), because at 10^10 documents exploding to a row-per-span
+# table just to drop a span kind would shuffle ~10x the rows for nothing.
+
+
+def filter_spans(docs: DataFrame, kinds: list[str], spans_col: str = "spans") -> DataFrame:
+    """Keep only spans of the given kinds and renumber offsets densely
+    (0..n-1 in surviving order) — the span-table analog of column
+    projection.  Per-row array rewrite, no shuffle, no explode."""
+    kept = F.filter(
+        F.col(spans_col), lambda s: s.getField("kind").isin(kinds)
+    )
+    renumbered = F.transform(
+        kept,
+        lambda s, i: F.struct(
+            s.getField("kind").alias("kind"),
+            s.getField("text").alias("text"),
+            s.getField("media_ref").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.withColumn(spans_col, renumbered)
+
+
+def strip_media(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Text-only view of the interleaved table (media spans dropped,
+    offsets renumbered) — what a text-pretraining freeze consumes."""
+    return filter_spans(docs, ["text"], spans_col)
+
+
+def media_manifest(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Exploded (doc_id, offset, kind, media_ref) manifest of every
+    non-text span — the download/audit worklist.  Media spans are every
+    kind other than ``text`` (the engine emits ``image``/``video`` per
+    the reference's span model; synthetic fixtures may use ``media``).
+    The one deliberate explode in this module: manifests are consumed
+    row-wise by the fetcher."""
+    s = F.explode(
+        F.filter(F.col(spans_col), lambda x: x.getField("kind") != "text")
+    ).alias("s")
+    return docs.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def span_stats(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Per-document span-shape metrics: counts per kind, total text chars,
+    and whether text/media interleave (any media span between two text
+    spans).  Pure array arithmetic — no explode, no shuffle."""
+    spans = F.col(spans_col)
+    texts = F.filter(spans, lambda s: s.getField("kind") == "text")
+    medias = F.filter(spans, lambda s: s.getField("kind") != "text")
+    text_chars = F.aggregate(
+        texts,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.length(F.coalesce(s.getField("text"), F.lit(""))),
+    )
+    first_text = F.array_position(
+        F.transform(spans, lambda s: s.getField("kind")), "text"
+    )
+    last_text = F.size(spans) - F.array_position(
+        F.reverse(F.transform(spans, lambda s: s.getField("kind"))), "text"
+    ) + 1
+    interleaved = F.when(
+        (F.size(texts) == 0) | (F.size(medias) == 0), F.lit(False)
+    ).otherwise(
+        F.size(
+            F.filter(
+                spans,
+                lambda s, i: (s.getField("kind") != "text")
+                & (i + 1 > first_text)
+                & (i + 1 < last_text),
+            )
+        )
+        > 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(texts).alias("n_text"),
+        F.size(medias).alias("n_media"),
+        text_chars.alias("text_chars"),
+        interleaved.alias("interleaved"),
+    )

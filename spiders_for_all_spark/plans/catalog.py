@@ -2001,3 +2001,161 @@ def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_tok").cast("int").alias("min_tok"),
         F.col("max_tok").cast("int").alias("max_tok"),
     )
+
+
+# ===========================================================================
+# Span-native operators (operators/documents.py) over a DERIVED interleaved
+# span table: documents text chunked into 8-word text spans, with a media
+# span inserted after chunk i whenever (doc_id + i) % 3 == 0 — identical
+# construction on both sides, so the oracle checks the REAL nested-array
+# rewrite (strip/renumber/manifest/stats) through a flat exploded compare.
+
+_SPAN_N = 8
+
+# exploded derived spans with their flattened 0-based offsets
+_SPAN_ROWS_SQL = f"""
+    SELECT doc_id, kind, text, media_ref,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY pos, is_media) - 1 AS INT) AS "offset",
+           pos
+    FROM (
+      SELECT doc_id, pos, 0 AS is_media, 'text' AS kind,
+             passage AS text, CAST(NULL AS VARCHAR) AS media_ref
+      FROM (
+            SELECT doc_id, CAST(u.i AS INT) AS pos,
+                   array_to_string(w[(u.i*{_SPAN_N}+1):(u.i*{_SPAN_N}+{_SPAN_N})], ' ') AS passage
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+                 UNNEST(range(CAST(ceil(len(w)/{_SPAN_N}.0) AS BIGINT))) AS u(i))
+      UNION ALL
+      SELECT doc_id, pos, 1 AS is_media, 'media' AS kind,
+             CAST(NULL AS VARCHAR) AS text,
+             'm://' || doc_id || '/' || pos AS media_ref
+      FROM (SELECT doc_id, CAST(u.i AS INT) AS pos
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+                 UNNEST(range(CAST(ceil(len(w)/{_SPAN_N}.0) AS BIGINT))) AS u(i))
+      WHERE (doc_id + pos) % 3 = 0)
+"""
+
+
+def _derived_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same construction as _SPAN_ROWS_SQL, but as the real nested
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>) table the
+    span operators take as input."""
+    from spiders_for_all_spark.operators.cleaning import passage_array
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nullstr = F.lit(None).cast("string")
+
+    def _text_span(c):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            c.alias("text"),
+            nullstr.alias("media_ref"),
+        )
+
+    def _media_span(i):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            nullstr.alias("text"),
+            F.concat(
+                F.lit("m://"), did.cast("string"), F.lit("/"), i.cast("string")
+            ).alias("media_ref"),
+        )
+
+    chunks = passage_array(F.col("text"), _SPAN_N)
+    nested = F.transform(
+        chunks,
+        lambda c, i: F.when(
+            (did + i) % 3 == 0, F.array(_text_span(c), _media_span(i))
+        ).otherwise(F.array(_text_span(c))),
+    )
+    spans = F.transform(
+        F.flatten(nested),
+        lambda s, i: F.struct(
+            s.getField("kind").alias("kind"),
+            s.getField("text").alias("text"),
+            s.getField("media_ref").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return d.select(did.alias("doc_id"), spans.alias("spans"))
+
+
+@_register(
+    "span_strip_media",
+    f"""
+    WITH spans AS ({_SPAN_ROWS_SQL})
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset") - 1
+                AS INT) AS "offset",
+           text
+    FROM spans WHERE kind = 'text'
+    """,
+)
+def span_strip_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-only projection of the interleaved span table with dense
+    re-offsetting — a per-row nested-array rewrite (no explode in the
+    rewrite; the explode here is only to flatten for the oracle compare)."""
+    from spiders_for_all_spark.operators.documents import strip_media
+
+    stripped = strip_media(_derived_spans(spark, sf_dir))
+    s = F.explode("spans").alias("s")
+    return stripped.select("doc_id", s).select(
+        "doc_id", F.col("s.offset").alias("offset"), F.col("s.text").alias("text")
+    )
+
+
+@_register(
+    "span_media_manifest",
+    f"""
+    WITH spans AS ({_SPAN_ROWS_SQL})
+    SELECT doc_id, "offset", kind, media_ref FROM spans WHERE kind <> 'text'
+    """,
+)
+def span_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, offset, media_ref) worklist of every media span — the
+    fetcher/auditor's input (reference downloads media per video row:
+    core/downloader.py:469-510; here the manifest is one declarative
+    projection of the span table)."""
+    from spiders_for_all_spark.operators.documents import media_manifest
+
+    return media_manifest(_derived_spans(spark, sf_dir))
+
+
+@_register(
+    "span_stats",
+    f"""
+    WITH spans AS ({_SPAN_ROWS_SQL}),
+    bounds AS (
+      SELECT doc_id,
+             min(CASE WHEN kind = 'text' THEN "offset" END) AS first_t,
+             max(CASE WHEN kind = 'text' THEN "offset" END) AS last_t
+      FROM spans GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS INT) AS n_text,
+           CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS INT) AS n_media,
+           CAST(sum(CASE WHEN kind = 'text'
+                    THEN length(coalesce(text, '')) ELSE 0 END) AS INT) AS text_chars,
+           (b.first_t IS NOT NULL
+            AND sum(CASE WHEN kind = 'media' AND "offset" > b.first_t
+                          AND "offset" < b.last_t THEN 1 ELSE 0 END) > 0)
+               AS interleaved
+    FROM spans s JOIN bounds b USING (doc_id)
+    GROUP BY s.doc_id, b.first_t, b.last_t
+    """,
+)
+def span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-shape metrics (counts per kind, text chars,
+    text/media interleaving flag) — pure array arithmetic on the nested
+    column, no explode, no shuffle."""
+    from spiders_for_all_spark.operators.documents import span_stats as _stats
+
+    out = _stats(_derived_spans(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_text").cast("int").alias("n_text"),
+        F.col("n_media").cast("int").alias("n_media"),
+        F.col("text_chars").cast("int").alias("text_chars"),
+        "interleaved",
+    )

@@ -249,3 +249,98 @@ def test_robots_parser_matches_model(spark, seed):
         if (m := _robots_model(b)) is not None
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Cleaning family vs independent Python models
+
+
+def _passage_dedup_model(docs: list[tuple[int, str]], n: int):
+    """Independent model of cleaning.passage_dedup: normalize, chunk into
+    n-word passages, first (doc_id, pos) occurrence of each distinct
+    passage wins, survivors reassemble in pos order."""
+    import re
+
+    chunks = []  # (doc_id, pos, passage)
+    for doc_id, text in docs:
+        words = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        n_chunks = -(-len(words) // n)
+        for i in range(n_chunks):
+            chunks.append((doc_id, i, " ".join(words[i * n : i * n + n])))
+    first: dict[str, tuple[int, int]] = {}
+    for doc_id, pos, p in sorted(chunks, key=lambda c: (c[0], c[1])):
+        first.setdefault(p, (doc_id, pos))
+    out = {}
+    for doc_id, _ in docs:
+        mine = [(pos, p) for d, pos, p in chunks if d == doc_id]
+        kept = [p for pos, p in sorted(mine) if first[p] == (doc_id, pos)]
+        out[doc_id] = (len(mine), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_passage_dedup_matches_model(spark, seed):
+    import random
+
+    from spiders_for_all_spark.operators.cleaning import passage_dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for doc_id in range(40):
+        n_words = rng.randint(1, 30)
+        words = [rng.choice(vocab) for _ in range(n_words)]
+        docs.append((doc_id, " ".join(words)))
+    # inject verbatim duplicated regions (the case the operator exists for)
+    for dup in range(5):
+        src_id, src_text = docs[rng.randrange(len(docs))]
+        tgt = rng.randrange(len(docs))
+        docs[tgt] = (docs[tgt][0], src_text + " " + docs[tgt][1])
+
+    model = _passage_dedup_model(docs, n=4)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["text_kept"])
+        for r in passage_dedup(df, n_words=4).collect()
+    }
+    assert got == model
+
+
+def _suffixes_model(host: str) -> list[str]:
+    parts = host.split(".")
+    return [".".join(parts[i:]) for i in range(len(parts))]
+
+
+@given(
+    st.lists(
+        st.from_regex(r"[a-z]{1,3}(\.[a-z]{1,3}){0,3}", fullmatch=True),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    st.lists(
+        st.from_regex(r"[a-z]{1,3}(\.[a-z]{1,3}){0,2}", fullmatch=True),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_blocklist_matches_model(spark, hosts, domains):
+    from spiders_for_all_spark.operators.cleaning import blocklist_filter
+
+    frontier = spark.createDataFrame(
+        [(f"u{i}", h) for i, h in enumerate(hosts)], "url string, host string"
+    )
+    bl = spark.createDataFrame([(d,) for d in domains], ["domain"])
+    got = {r["url"] for r in blocklist_filter(frontier, bl).collect()}
+    want = {
+        f"u{i}"
+        for i, h in enumerate(hosts)
+        if not any(s in domains for s in _suffixes_model(h))
+    }
+    assert got == want

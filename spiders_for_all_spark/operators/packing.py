@@ -1,0 +1,119 @@
+"""Sequence packing for pretraining: assign documents to fixed
+token-budget training sequences (concatenate-and-chunk — the standard
+GPT-style packing), as a DISTRIBUTED two-stage prefix sum.
+
+No reference counterpart (the reference stores rows; it has no notion of
+a training batch).  The interesting part at 100 TB is the global
+cumulative token offset: a naive ``Window.orderBy(key)`` cumsum collapses
+to a single-partition sort.  Instead:
+
+1. order key  = md5(seed || doc_id) — deterministic, engine-independent,
+   uniformly shuffled (packing wants decorrelated neighbors);
+2. bucket     = first byte of the key.  Because the bucket is a PREFIX of
+   the key, ordering by (bucket, key) equals ordering by key — so
+   per-bucket cumsums + bucket base offsets compose into the exact
+   global prefix sum;
+3. stage A: cumsum within each bucket (Window partitioned by bucket —
+   256-way parallel, no global sort);
+4. stage B: bucket totals (256 rows) -> running base offset per bucket ->
+   broadcast join back.
+
+Total cost: one hash shuffle of (bucket, key, n_tok) triples + one
+256-row window + one broadcast — vs the single-reducer global sort of
+the naive form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spiders_for_all_spark.functions.text import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Per document: its global token offset in the packed stream and the
+    range of ``seq_len``-token training sequences it lands in.
+
+    Returns (id, n_tok, global_offset, seq_first, seq_last) where
+    ``seq_first = floor(global_offset / seq_len)`` and ``seq_last``
+    covers the document's final token — a doc spanning a chunk boundary
+    appears in consecutive sequences, exactly like the tokenized stream
+    it models.  Deterministic for a given (corpus, seed): re-running on
+    resume or backfill reproduces identical packing.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    bucket = F.substring(key, 1, 2)  # hex prefix byte: 256 buckets
+    toks = docs.select(
+        F.col(id_col),
+        key.alias("_key"),
+        bucket.alias("_bucket"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy("_key", id_col)
+    staged = toks.withColumn(
+        "_cum_in_bucket", F.sum("n_tok").over(in_bucket)
+    )
+    totals = staged.groupBy("_bucket").agg(
+        F.sum("n_tok").alias("_bucket_total")
+    )
+    base_w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bucket_total").over(base_w), F.lit(0)).alias(
+            "_base"
+        ),
+    )
+    out = staged.join(F.broadcast(bases), "_bucket").select(
+        id_col,
+        "n_tok",
+        (F.col("_base") + F.col("_cum_in_bucket") - F.col("n_tok")).alias(
+            "global_offset"
+        ),
+    )
+    # `div` = exact integer division (a double floor would be ulp-fragile
+    # once offsets pass 2^53 on a real corpus)
+    return out.select(
+        id_col,
+        "n_tok",
+        "global_offset",
+        F.expr(f"global_offset div {int(seq_len)}").alias("seq_first"),
+        F.expr(
+            f"(global_offset + greatest(n_tok, 1) - 1) div {int(seq_len)}"
+        ).alias("seq_last"),
+    )
+
+
+def pack_manifest(
+    packed: DataFrame, seq_len: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exploded (seq_id, id, doc_start, seq_start, n_tok_in_seq) manifest —
+    one row per (sequence, document) intersection, the loader's worklist.
+    ``doc_start`` is the first document token included in this sequence;
+    ``seq_start`` is where it lands inside the sequence."""
+    seq_id = F.explode(
+        F.sequence(F.col("seq_first"), F.col("seq_last"))
+    ).alias("seq_id")
+    e = packed.select(id_col, "n_tok", "global_offset", seq_id)
+    seq_lo = F.col("seq_id") * seq_len
+    start_in_doc = F.greatest(seq_lo - F.col("global_offset"), F.lit(0))
+    end_in_doc = F.least(
+        seq_lo + seq_len - F.col("global_offset"), F.col("n_tok")
+    )
+    return e.select(
+        "seq_id",
+        id_col,
+        start_in_doc.alias("doc_start"),
+        F.greatest(
+            F.col("global_offset") - seq_lo, F.lit(0)
+        ).alias("seq_start"),
+        (end_in_doc - start_in_doc).alias("n_tok_in_seq"),
+    )

@@ -2159,3 +2159,76 @@ def span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text_chars").cast("int").alias("text_chars"),
         "interleaved",
     )
+
+
+# ===========================================================================
+# Sequence packing (operators/packing.py): concatenate-and-chunk token
+# packing as a distributed two-stage prefix sum.  The oracle computes the
+# same global cumsum with one window — valid because the Spark side's
+# bucket is a PREFIX of its order key, so per-bucket cumsum + bucket bases
+# equals the single global ordering.
+
+_PACK_LEN = 512
+
+_PACK_CUM_SQL = f"""
+    SELECT doc_id, n_tok,
+           CAST(sum(n_tok) OVER (ORDER BY key, doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok
+                AS BIGINT) AS global_offset
+    FROM (SELECT doc_id,
+                 md5('s0' || CAST(doc_id AS VARCHAR)) AS key,
+                 CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tok
+          FROM documents)
+"""
+
+
+@_register(
+    "pack_sequences",
+    f"""
+    WITH cum AS ({_PACK_CUM_SQL})
+    SELECT doc_id, n_tok, global_offset,
+           global_offset // {_PACK_LEN} AS seq_first,
+           (global_offset + greatest(n_tok, 1) - 1) // {_PACK_LEN} AS seq_last
+    FROM cum
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (GPT-style concatenate-and-chunk):
+    each doc's global token offset and the training-sequence range it
+    spans.  Global cumsum realized as 256-way bucketed prefix sums + a
+    broadcast of bucket bases — no single-reducer global sort."""
+    from spiders_for_all_spark.operators.packing import pack_sequences as _p
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _p(d, seq_len=_PACK_LEN)
+
+
+@_register(
+    "pack_manifest",
+    f"""
+    WITH cum AS ({_PACK_CUM_SQL}),
+    packed AS (
+      SELECT doc_id, n_tok, global_offset,
+             global_offset // {_PACK_LEN} AS seq_first,
+             (global_offset + greatest(n_tok, 1) - 1) // {_PACK_LEN} AS seq_last
+      FROM cum)
+    SELECT CAST(u.s AS BIGINT) AS seq_id, doc_id,
+           greatest(u.s * {_PACK_LEN} - global_offset, 0) AS doc_start,
+           greatest(global_offset - u.s * {_PACK_LEN}, 0) AS seq_start,
+           least(u.s * {_PACK_LEN} + {_PACK_LEN} - global_offset, n_tok)
+             - greatest(u.s * {_PACK_LEN} - global_offset, 0) AS n_tok_in_seq
+    FROM packed, UNNEST(range(seq_first, seq_last + 1)) AS u(s)
+    """,
+)
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(sequence, document) loader manifest: which token slice of
+    which document fills which part of each fixed-length training
+    sequence.  One explode of the packed table — rows = sequence
+    crossings + docs, no additional shuffle."""
+    from spiders_for_all_spark.operators.packing import (
+        pack_manifest as _m,
+        pack_sequences as _p,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return _m(_p(d, seq_len=_PACK_LEN), seq_len=_PACK_LEN)

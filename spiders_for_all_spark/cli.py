@@ -383,15 +383,31 @@ def cmd_curate(ns: argparse.Namespace) -> int:
     )
     if ns.out:
         curated.write.mode("overwrite").parquet(ns.out)
-        print(
-            json.dumps(
-                {
-                    "in_docs": docs.count(),
-                    "out_docs": spark.read.parquet(ns.out).count(),
-                    "out": ns.out,
-                }
+        stats = {
+            "in_docs": docs.count(),
+            "out_docs": spark.read.parquet(ns.out).count(),
+            "out": ns.out,
+        }
+        if ns.pack_seq_len:
+            from spiders_for_all_spark.operators.packing import (
+                pack_manifest,
+                pack_sequences,
             )
-        )
+
+            frozen = spark.read.parquet(ns.out)
+            packed = pack_sequences(frozen, seq_len=ns.pack_seq_len)
+            manifest = pack_manifest(packed, seq_len=ns.pack_seq_len)
+            manifest.write.mode("overwrite").parquet(ns.out + "_manifest")
+            n_seqs = (
+                spark.read.parquet(ns.out + "_manifest")
+                .select("seq_id")
+                .distinct()
+                .count()
+            )
+            stats["pack_seq_len"] = ns.pack_seq_len
+            stats["n_sequences"] = n_seqs
+            stats["manifest"] = ns.out + "_manifest"
+        print(json.dumps(stats))
     else:
         _emit(curated, ns.format, None, ns.limit)
     return 0
@@ -499,6 +515,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="passage-level exact dedup on an N-word grid")
     cu.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPs/phones in the frozen text")
+    cu.add_argument("--pack-seq-len", type=int, default=None, metavar="L",
+                    help="also write the L-token sequence-packing manifest "
+                         "next to --out (concatenate-and-chunk)")
     cu.add_argument("--out", default=None, help="curated parquet sink")
     cu.add_argument("--limit", type=int, default=None)
     cu.add_argument("--format", default="table")

@@ -204,3 +204,22 @@ def test_curate_corpus_freeze(spark, capsys, tmp_path):
 
 def test_curate_requires_source(capsys):
     assert main(["curate"]) == 2
+
+
+def test_curate_pack_manifest(spark, capsys, tmp_path):
+    """curate --pack-seq-len writes the packing manifest next to the
+    frozen corpus and reports the sequence count."""
+    out = str(tmp_path / "frozen")
+    assert main([
+        "curate", "--sf-dir", SF_DIR, "--min-quality", "0.1",
+        "--pack-seq-len", "128", "--out", out,
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pack_seq_len"] == 128
+    man = spark.read.parquet(stats["manifest"])
+    import pyspark.sql.functions as F
+    per_seq = man.groupBy("seq_id").agg(F.sum("n_tok_in_seq").alias("s"))
+    n_seqs = per_seq.count()
+    assert stats["n_sequences"] == n_seqs
+    # every sequence except at most one is exactly full
+    assert per_seq.filter(F.col("s") == 128).count() >= n_seqs - 1

@@ -166,6 +166,17 @@ MINHASH_INDEX = T.StructType(
     ]
 )
 
+# Candidate pairs discovered by incremental index probes (streaming
+# ingestion commits each micro-batch's pairs atomically with its index
+# rows — streaming/rounds.py:streaming_incremental_dedup).
+MINHASH_PAIRS = T.StructType(
+    [
+        T.StructField("a", T.StringType(), False),
+        T.StructField("b", T.StringType(), False),
+        T.StructField("batch_id", T.LongType(), True),
+    ]
+)
+
 # Re-crawl eviction tombstones: url_hashes logically deleted from the seen
 # set (cuckoo-filter deletions at probe time).  Rows are removed again the
 # moment the URL is re-fetched (its hash re-enters seen) — the table stays

@@ -61,6 +61,7 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "media_meta": S.MEDIA_META,
     "evicted": S.EVICTED,
     "minhash_index": S.MINHASH_INDEX,
+    "minhash_pairs": S.MINHASH_PAIRS,
     "bloom": S.BLOOM,
     "cuckoo": S.CUCKOO,
 }

@@ -136,3 +136,68 @@ def streaming_host_budget(
         outputMode="update",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def streaming_document_quality(docs: DataFrame) -> DataFrame:
+    """Streaming corpus-clean projection: quality score, language guess,
+    repetition signals, PII scrub — all stateless Catalyst expressions,
+    so the SAME operator code runs unchanged on a ``readStream`` source
+    (no shuffle, no state store, append-mode safe).  The streaming twin
+    of the curate pipeline's expression-only stages."""
+    from spiders_for_all_spark.functions.text import lang_id, quality_score
+    from spiders_for_all_spark.operators.cleaning import (
+        dup_word_fraction,
+        pii_scrub,
+        top_bigram_fraction,
+    )
+
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        dup_word_fraction(t).alias("dup_word_frac"),
+        top_bigram_fraction(t).alias("top_bigram_frac"),
+        pii_scrub(t).alias("text_scrubbed"),
+    )
+
+
+def streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    storage,
+    checkpoint_dir: str,
+    pairs_table: str = "minhash_pairs",
+    index_table: str = "minhash_index",
+    **lsh_kw,
+):
+    """Streaming ingestion into the incremental MinHash-LSH corpus index:
+    each micro-batch is one ``incremental_dedup_round`` — O(batch)
+    shingling, staged append to the committed index, broadcast-pruned
+    probe against everything indexed so far — with the batch's candidate
+    pairs and its index rows flipped in ONE ``commit_multi`` (the same
+    atomic-visibility rule the crawl round uses; a crash between batches
+    leaves both tables at the last committed batch, and Structured
+    Streaming's checkpoint replays the rest).
+
+    Returns the started ``StreamingQuery``.
+    """
+    from spiders_for_all_spark.operators.textdedup import (
+        incremental_dedup_round,
+    )
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pairs, staged_index = incremental_dedup_round(
+            storage, batch_df, table=index_table, **lsh_kw
+        )
+        staged_pairs = storage.stage_append(
+            pairs_table, pairs.withColumn("batch_id", F.lit(batch_id))
+        )
+        storage.commit_multi([staged_index, staged_pairs])
+
+    return (
+        stream_docs.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

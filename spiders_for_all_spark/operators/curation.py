@@ -207,3 +207,53 @@ def stratified_sample(
         corpus.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def mixture_resample(
+    corpus: DataFrame,
+    target: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    seed: str = "s0",
+) -> DataFrame:
+    """Materialize a target mixture: keep each document with probability
+    ``min(weight, 1)`` where weight = target_share / actual_share per
+    group (downsampling overrepresented groups toward the target; groups
+    needing upsampling keep everything — repetition epochs are a loader
+    concern, not a corpus one).
+
+    The accept/reject draw is md5-derived and compared in INTEGER space
+    (draw32 < floor(p * 2^32)) — reproducible bit-for-bit on any engine,
+    partition layout, or retry, unlike ``DataFrame.sample``.  Plan: one
+    corpus groupBy (token totals, #groups rows) -> broadcast weights back
+    -> expression-only filter; the corpus is never shuffled.
+    """
+    w = mixture_weights(corpus, target, text_col, group_col)
+    p = F.least(F.col("weight"), F.lit(1.0))
+    thresholds = F.broadcast(
+        w.select(
+            group_col,
+            F.floor(p * F.lit(4294967296.0)).cast("bigint").alias("_thr"),
+        )
+    )
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed),
+                    F.lit(":mix:"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        corpus.join(thresholds, group_col)
+        .filter(draw < F.col("_thr"))
+        .drop("_thr")
+    )

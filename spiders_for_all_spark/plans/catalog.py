@@ -2232,3 +2232,48 @@ def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return _m(_p(d, seq_len=_PACK_LEN), seq_len=_PACK_LEN)
+
+
+# ===========================================================================
+# Mixture resampling (operators/curation.py): materialize a target token
+# mixture with an integer-space md5 accept/reject draw — deterministic on
+# any engine / partition layout / retry.
+
+_MIX_TARGET = {"en": 0.30, "de": 0.25, "es": 0.20, "fr": 0.15, "zh": 0.10}
+
+
+def _mixture_resample_sql() -> str:
+    case = " ".join(
+        f"WHEN '{g}' THEN {p}" for g, p in sorted(_MIX_TARGET.items())
+    )
+    return f"""
+    WITH tok AS (
+      SELECT lang, CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS tokens
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang,
+             CAST(floor(least((CASE lang {case} ELSE 0.0 END)
+                              / (tokens / (sum(tokens) OVER ())), 1.0)
+                        * 4294967296.0) AS BIGINT) AS thr
+      FROM tok)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN w ON d.lang = w.lang
+    WHERE CAST(('0x' || substr(md5('s0:mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS BIGINT) < w.thr
+    """
+
+
+@_register("curation_mixture_resample", _mixture_resample_sql())
+def curation_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized target mixture: per-group accept probability
+    min(target_share/actual_share, 1), drawn per doc as a 32-bit
+    md5-derived integer against a precomputed integer threshold — exact
+    cross-engine reproducibility (no float comparison at the boundary,
+    no partition-layout dependence).  Corpus path: one token groupBy +
+    broadcast thresholds + expression filter; never shuffled."""
+    from spiders_for_all_spark.operators.curation import mixture_resample
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+    )
+    return mixture_resample(d, _MIX_TARGET).select("doc_id", "lang")

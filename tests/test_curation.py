@@ -88,3 +88,23 @@ def test_stratified_sample_exact_k_and_deterministic(spark):
     # a different seed draws a different sample
     s3 = CU.stratified_sample(docs, 3, seed="other").collect()
     assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
+
+
+def test_mixture_resample_downsamples_to_target(spark):
+    """Overrepresented group shrinks toward the target share; groups at or
+    under target keep every document (weight >= 1 -> threshold 2^32)."""
+    rows = [(f"a{i}", "en", "common words " * 5) for i in range(400)]
+    rows += [(f"b{i}", "de", "andere worte " * 5) for i in range(100)]
+    corpus = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = CU.mixture_resample(corpus, {"en": 0.5, "de": 0.5})
+    kept = {r["lang"]: 0 for r in out.collect()}
+    for r in out.collect():
+        kept[r["lang"]] += 1
+    # de is underrepresented (20% actual vs 50% target): keeps all 100
+    assert kept["de"] == 100
+    # en (80% actual vs 50% target, weight 0.625): binomial(400, .625)
+    assert 200 < kept["en"] < 300
+    # deterministic across runs
+    again = sorted(r["doc_id"] for r in CU.mixture_resample(
+        corpus, {"en": 0.5, "de": 0.5}).collect())
+    assert again == sorted(r["doc_id"] for r in out.collect())

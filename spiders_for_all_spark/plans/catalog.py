@@ -2239,12 +2239,12 @@ def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mixture with an integer-space md5 accept/reject draw — deterministic on
 # any engine / partition layout / retry.
 
-_MIX_TARGET = {"en": 0.30, "de": 0.25, "es": 0.20, "fr": 0.15, "zh": 0.10}
+_RESAMPLE_TARGET = {"en": 0.30, "de": 0.25, "es": 0.20, "fr": 0.15, "zh": 0.10}
 
 
 def _mixture_resample_sql() -> str:
     case = " ".join(
-        f"WHEN '{g}' THEN {p}" for g, p in sorted(_MIX_TARGET.items())
+        f"WHEN '{g}' THEN {p}" for g, p in sorted(_RESAMPLE_TARGET.items())
     )
     return f"""
     WITH tok AS (
@@ -2276,4 +2276,4 @@ def curation_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
     )
-    return mixture_resample(d, _MIX_TARGET).select("doc_id", "lang")
+    return mixture_resample(d, _RESAMPLE_TARGET).select("doc_id", "lang")

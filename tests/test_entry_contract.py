@@ -87,3 +87,31 @@ def test_query_matches_oracle(spark, ddb, contract, name):
     assert sorted(sdf.columns) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert canon_rows(sdf.columns, s_rows) == canon_rows(d_cols, d_rows)
+
+
+def test_catalog_no_module_level_shadowing():
+    """Oracle SQL strings are f-strings baked at definition time, but the
+    Spark function bodies read module globals at call time — a later
+    re-assignment of the same name silently desynchronizes the two sides
+    (the _MIX_TARGET shadowing bug caught in round 4).  Reject duplicate
+    top-level assignments in catalog.py."""
+    import ast
+    import inspect
+
+    from spiders_for_all_spark.plans import catalog
+
+    tree = ast.parse(inspect.getsource(catalog))
+    seen: dict[str, int] = {}
+    for node in tree.body:
+        targets = []
+        if isinstance(node, ast.Assign):
+            targets = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            targets = [node.target.id]
+        for name in targets:
+            assert name not in seen, (
+                f"catalog.py assigns module-level {name!r} twice "
+                f"(lines {seen[name]} and {node.lineno}) — the oracle/Spark "
+                "sides can desync; rename one."
+            )
+            seen[name] = node.lineno

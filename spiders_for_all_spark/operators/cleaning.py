@@ -41,6 +41,11 @@ from spiders_for_all_spark.functions.text import (
 # PII patterns written in the Java-regex / RE2 common dialect (no
 # backreferences, no lookaround) so the DuckDB oracle runs the very same
 # strings.
+# Gopher-rule repetition thresholds — the single source both
+# repetition_signals and curation.curate_corpus default to.
+MAX_DUP_WORD_FRAC = 0.8
+MAX_TOP_BIGRAM_FRAC = 0.18
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
@@ -121,10 +126,21 @@ def passage_dedup(
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-type redaction counts matching ``pii_scrub``'s SEQUENTIAL
+    passes: each pattern is counted on the text as the scrub stage sees
+    it (IPs after emails are gone, phones after both), so the counts
+    reconcile exactly with the tags in the scrubbed output — counting
+    every pattern on the original text would double-count regions (an IP
+    embedded in an email address) and report redactions that never
+    happened."""
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     return {
         "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
-        "n_ips": F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)),
-        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE), 0)),
+        "n_phones": F.size(
+            F.regexp_extract_all(after_ip, F.lit(PHONE_RE), 0)
+        ),
     }
 
 
@@ -194,8 +210,8 @@ def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_dup_word_frac: float = 0.8,
-    max_top_bigram_frac: float = 0.18,
+    max_dup_word_frac: float = MAX_DUP_WORD_FRAC,
+    max_top_bigram_frac: float = MAX_TOP_BIGRAM_FRAC,
 ) -> DataFrame:
     """Per-document repetition metrics + the Gopher-rule keep flag
     (C4/Gopher-style repetitious-text filters; thresholds parameterized).

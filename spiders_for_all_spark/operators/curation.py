@@ -110,6 +110,8 @@ def curate_corpus(
     blocklist: DataFrame | None = None,
     host_col: str = "host",
     repetition_filter: bool = False,
+    max_dup_word_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
     passage_n: int | None = None,
     scrub_pii: bool = False,
 ) -> DataFrame:
@@ -143,9 +145,18 @@ def curate_corpus(
     if blocklist is not None:
         out = blocklist_filter(out, blocklist, host_col=host_col)
     if repetition_filter:
+        from spiders_for_all_spark.operators.cleaning import (
+            MAX_DUP_WORD_FRAC,
+            MAX_TOP_BIGRAM_FRAC,
+        )
+
+        dwf_max = MAX_DUP_WORD_FRAC if max_dup_word_frac is None else max_dup_word_frac
+        tbf_max = (
+            MAX_TOP_BIGRAM_FRAC if max_top_bigram_frac is None else max_top_bigram_frac
+        )
         t = F.col(text_col)
         out = out.filter(
-            (dup_word_fraction(t) <= 0.8) & (top_bigram_fraction(t) <= 0.18)
+            (dup_word_fraction(t) <= dwf_max) & (top_bigram_fraction(t) <= tbf_max)
         )
     clusters = minhash_dup_clusters(out, text_col, id_col)
     non_reps = clusters.filter(F.col(id_col) != F.col("component")).select(
@@ -230,7 +241,11 @@ def mixture_resample(
     -> expression-only filter; the corpus is never shuffled.
     """
     w = mixture_weights(corpus, target, text_col, group_col)
-    p = F.least(F.col("weight"), F.lit(1.0))
+    # weight is NULL for a group whose texts are all NULL (0/0 share);
+    # least() SKIPS nulls, so without the coalesce p would silently become
+    # 1.0 and keep the whole group — coalesce to 0 = drop, matching the
+    # "groups not in target are dropped" rule.
+    p = F.least(F.coalesce(F.col("weight"), F.lit(0.0)), F.lit(1.0))
     thresholds = F.broadcast(
         w.select(
             group_col,

@@ -31,7 +31,19 @@ def docs_from_parsed(parsed_ok: DataFrame) -> DataFrame:
         F.col("d.doc_id").alias("doc_id"),
         F.array_sort(F.col("d.spans"), by_offset).alias("spans"),
     )
-    return exploded.groupBy("doc_id").agg(F.max("spans").alias("spans"))
+    # max over (span count, spans): F.max("spans") alone compares arrays
+    # lexicographically, so a 1-span copy with a "larger" first struct
+    # would beat a fuller 5-span copy — count must dominate.
+    return exploded.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.size("spans").alias("n_spans"),
+                F.col("spans").alias("spans"),
+            )
+        )
+        .getField("spans")
+        .alias("spans")
+    )
 
 
 # ---------------------------------------------------------------------------

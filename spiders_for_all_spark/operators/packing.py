@@ -60,7 +60,10 @@ def pack_sequences(
     staged = toks.withColumn(
         "_cum_in_bucket", F.sum("n_tok").over(in_bucket)
     )
-    totals = staged.groupBy("_bucket").agg(
+    # totals from `toks`, not `staged`: the branch needs only
+    # (_bucket, n_tok), and deriving it pre-window keeps the bucket sort
+    # out of this leg regardless of whether ColumnPruning fires.
+    totals = toks.groupBy("_bucket").agg(
         F.sum("n_tok").alias("_bucket_total")
     )
     base_w = Window.orderBy("_bucket").rowsBetween(

@@ -465,7 +465,8 @@ def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
 
 
-# sessionization (gap > 30 min)
+# sessionization (gap > 30 min; session_window merges touching windows,
+# so the boundary event extends the session — twin-verified by test)
 
 
 @_register(
@@ -1820,19 +1821,28 @@ _PII_AUG_SQL = """
 @_register(
     "clean_pii_scrub",
     f"""
-    WITH aug AS ({_PII_AUG_SQL})
+    WITH aug AS ({_PII_AUG_SQL}),
+    seq AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g') AS after_email
+      FROM aug),
+    seq2 AS (
+      SELECT *, regexp_replace(after_email,
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                 '<IP>', 'g') AS after_ip
+      FROM seq)
     SELECT doc_id,
            CAST(len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(after_email,
                '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS INT) AS n_ips,
-           CAST(len(regexp_extract_all(text,
+           CAST(len(regexp_extract_all(after_ip,
                '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b')) AS INT) AS n_phones,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+           md5(regexp_replace(after_ip,
                '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g')) AS scrub_fp
-    FROM aug
+    FROM seq2
     """,
 )
 def clean_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2252,8 +2262,8 @@ def _mixture_resample_sql() -> str:
       FROM documents GROUP BY lang),
     w AS (
       SELECT lang,
-             CAST(floor(least((CASE lang {case} ELSE 0.0 END)
-                              / (tokens / (sum(tokens) OVER ())), 1.0)
+             CAST(floor(least(coalesce((CASE lang {case} ELSE 0.0 END)
+                              / (tokens / (sum(tokens) OVER ())), 0.0), 1.0)
                         * 4294967296.0) AS BIGINT) AS thr
       FROM tok)
     SELECT d.doc_id, d.lang

@@ -177,6 +177,14 @@ MINHASH_PAIRS = T.StructType(
     ]
 )
 
+# Watermark of foreachBatch batch_ids already folded into the committed
+# MinHash index (streaming/rounds.py:incremental_dedup_batch): foreachBatch
+# is at-least-once, so each commit_multi flip also appends its batch_id
+# here and replays at-or-below the max are skipped — exactly-once appends.
+MINHASH_BATCHES = T.StructType(
+    [T.StructField("batch_id", T.LongType(), False)]
+)
+
 # Re-crawl eviction tombstones: url_hashes logically deleted from the seen
 # set (cuckoo-filter deletions at probe time).  Rows are removed again the
 # moment the URL is re-fetched (its hash re-enters seen) — the table stays

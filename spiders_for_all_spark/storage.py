@@ -62,6 +62,7 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "evicted": S.EVICTED,
     "minhash_index": S.MINHASH_INDEX,
     "minhash_pairs": S.MINHASH_PAIRS,
+    "minhash_index__batches": S.MINHASH_BATCHES,
     "bloom": S.BLOOM,
     "cuckoo": S.CUCKOO,
 }

@@ -23,15 +23,21 @@ def windowed_event_counts(
     window: str = "5 minutes",
     slide: str | None = None,
     watermark: str = "10 minutes",
+    value_col: str | None = "value",
 ) -> DataFrame:
-    """Tumbling/sliding windowed counts+sums; watermark bounds late data."""
+    """Tumbling/sliding windowed counts+sums; watermark bounds late data.
+
+    ``value_col=None`` (or a source without the column) emits counts only —
+    the ts/key columns are parameterized, so the summed measure must be too.
+    """
     src = events
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
-    return src.groupBy(win.alias("win"), F.col(key_col)).agg(
-        F.count("*").alias("n"), F.sum("value").alias("total_value")
-    )
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None and value_col in src.columns:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return src.groupBy(win.alias("win"), F.col(key_col)).agg(*aggs)
 
 
 def sessionize(
@@ -44,7 +50,12 @@ def sessionize(
 
     lag + cumulative-sum-over-window — the standard Spark idiom; the
     streaming twin is ``session_window`` (used in
-    ``streaming_sessionize``)."""
+    ``streaming_sessionize``).  The boundary is ``>`` to match
+    ``session_window`` exactly: Spark MERGES sessions whose windows touch
+    (an event at precisely last+gap extends the session, verified by
+    tests/test_streaming_clean.py::
+    test_sessionize_boundary_matches_session_window), so the twins agree
+    on boundary-timed events."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
@@ -95,6 +106,7 @@ def streaming_host_budget(
     budget_total: int = 100,
     host_col: str = "host",
     timeout: str = "NoTimeout",
+    timeout_duration_ms: int = 3_600_000,
 ) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState, §2.11): a running
     per-host admission counter with a TOTAL budget cap — the streaming form
@@ -105,12 +117,23 @@ def streaming_host_budget(
     (host, n_batch, n_total, admitted) where `admitted` counts the rows
     that fit under the remaining budget.  State is one long per host,
     managed by Spark's state store (checkpointable, rescalable).
+
+    With ``timeout="ProcessingTimeTimeout"`` a host idle for
+    ``timeout_duration_ms`` has its counter EVICTED (state removed, no row
+    emitted) — without eviction, crawl-scale host cardinality grows the
+    state store unboundedly; a host seen again after eviction restarts
+    from a zero counter (fresh budget).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "host string, n_batch long, n_total long, admitted long"
+    arm_timeout = timeout == "ProcessingTimeTimeout"
 
     def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle-host eviction: drop the counter, emit nothing.
+            state.remove()
+            return
         n_before = state.get[0] if state.exists else 0
         n_batch = 0
         for pdf in pdfs:
@@ -118,6 +141,8 @@ def streaming_host_budget(
         admitted = max(min(budget_total - n_before, n_batch), 0)
         n_total = n_before + n_batch
         state.update((n_total,))
+        if arm_timeout:
+            state.setTimeoutDuration(timeout_duration_ms)
         import pandas as pd
 
         yield pd.DataFrame(
@@ -179,25 +204,66 @@ def streaming_incremental_dedup(
     leaves both tables at the last committed batch, and Structured
     Streaming's checkpoint replays the rest).
 
+    Replay safety: ``foreachBatch`` is at-least-once — a crash AFTER the
+    ``commit_multi`` flip but BEFORE the streaming checkpoint records the
+    batch re-delivers the same ``batch_id`` on restart.  Each flip
+    therefore also commits the batch_id to a one-column watermark table
+    (``{index_table}__batches``) in the SAME atomic flip; a replayed
+    batch_id at or below the committed watermark is skipped, so index and
+    pairs rows are appended exactly once.
+
     Returns the started ``StreamingQuery``.
     """
-    from spiders_for_all_spark.operators.textdedup import (
-        incremental_dedup_round,
-    )
-
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        pairs, staged_index = incremental_dedup_round(
-            storage, batch_df, table=index_table, **lsh_kw
+        incremental_dedup_batch(
+            storage, batch_df, batch_id, pairs_table, index_table, **lsh_kw
         )
-        staged_pairs = storage.stage_append(
-            pairs_table, pairs.withColumn("batch_id", F.lit(batch_id))
-        )
-        storage.commit_multi([staged_index, staged_pairs])
 
     return (
         stream_docs.writeStream.foreachBatch(_one_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_dedup_batch(
+    storage,
+    batch_df: DataFrame,
+    batch_id: int,
+    pairs_table: str = "minhash_pairs",
+    index_table: str = "minhash_index",
+    **lsh_kw,
+) -> bool:
+    """One idempotent micro-batch of the incremental dedup ingestion.
+
+    Returns True if the batch was applied, False if it was a replay of an
+    already-committed batch_id (skipped).  Module-level so the replay
+    contract is directly unit-testable outside a StreamingQuery.
+    """
+    from spiders_for_all_spark.operators.textdedup import (
+        incremental_dedup_round,
+    )
+
+    batches_table = f"{index_table}__batches"
+    if not batch_df.take(1):
+        return False
+    if storage.latest_snapshot(batches_table) is not None:
+        done = (
+            storage.read(batches_table)
+            .agg(F.max("batch_id").alias("m"))
+            .collect()[0]["m"]
+        )
+        if done is not None and batch_id <= done:
+            return False  # checkpoint replay of an already-committed batch
+    pairs, staged_index = incremental_dedup_round(
+        storage, batch_df, table=index_table, **lsh_kw
+    )
+    staged_pairs = storage.stage_append(
+        pairs_table, pairs.withColumn("batch_id", F.lit(batch_id))
+    )
+    staged_mark = storage.stage_append(
+        batches_table,
+        batch_df.sparkSession.createDataFrame([(batch_id,)], "batch_id long"),
+    )
+    storage.commit_multi([staged_index, staged_pairs, staged_mark])
+    return True

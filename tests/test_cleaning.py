@@ -183,3 +183,25 @@ def test_curate_corpus_with_cleaning_stages(spark):
     assert "<EMAIL>" in rows["1"] and "a@b.io" not in rows["1"]
     # doc 4 lost the passage doc 1 already owns
     assert "alpha" not in rows["4"] and "trailing unique part" in rows["4"]
+
+
+def test_pii_counts_reconcile_with_scrubbed_tags(spark):
+    """Counts are sequential (each pattern counted on the text the scrub
+    stage actually sees), so per-type counts equal the number of typed
+    tags in text_scrubbed — an IP embedded in an email address is not
+    double-counted."""
+    from spiders_for_all_spark.operators.cleaning import scrub_documents
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "mail john@1.2.3.4.example.com now"),  # email wraps an IP-looking run
+            ("d2", "host 10.0.0.1 and phone 555-123-4567"),
+            ("d3", "clean text"),
+        ],
+        "doc_id string, text string",
+    )
+    for r in scrub_documents(df).collect():
+        t = r["text_scrubbed"]
+        assert r["n_emails"] == t.count("<EMAIL>")
+        assert r["n_ips"] == t.count("<IP>")
+        assert r["n_phones"] == t.count("<PHONE>")

@@ -108,3 +108,19 @@ def test_mixture_resample_downsamples_to_target(spark):
     again = sorted(r["doc_id"] for r in CU.mixture_resample(
         corpus, {"en": 0.5, "de": 0.5}).collect())
     assert again == sorted(r["doc_id"] for r in out.collect())
+
+
+def test_mixture_resample_null_text_group_dropped(spark):
+    """A group whose texts are all NULL has a null weight (0/0 share);
+    least() skips nulls, so without the coalesce-to-0 the whole group
+    would silently be kept with p=1.0.  Rule: not-in-target / untokenizable
+    groups are DROPPED."""
+    from spiders_for_all_spark.operators.curation import mixture_resample
+
+    df = spark.createDataFrame(
+        [("a", "some english words here", "en"), ("b", None, "xx"),
+         ("c", None, "xx")],
+        "doc_id string, text string, lang string",
+    )
+    kept = mixture_resample(df, {"en": 1.0}).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {"a"}

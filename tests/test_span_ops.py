@@ -85,3 +85,35 @@ def test_filter_spans_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_docs_from_parsed_collision_keeps_fullest_copy(spark):
+    """doc_id re-emitted within a round: the copy with MORE spans wins,
+    even when the sparser copy compares lexicographically larger
+    (plain F.max over the array would pick the 1-span 'zzz' copy)."""
+    parsed = spark.createDataFrame(
+        [
+            ("u1", [("dX", [("text", "zzz late copy", None, 0)])]),
+            (
+                "u2",
+                [
+                    (
+                        "dX",
+                        [
+                            ("text", "aaa first", None, 0),
+                            ("image", None, "m://dX/0", 1),
+                            ("text", "aaa tail", None, 2),
+                        ],
+                    )
+                ],
+            ),
+        ],
+        "url string, docs array<struct<doc_id:string,"
+        "spans:array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>>>",
+    )
+    out = D.docs_from_parsed(parsed).collect()
+    assert len(out) == 1
+    spans = out[0]["spans"]
+    assert len(spans) == 3
+    assert spans[0]["text"] == "aaa first"

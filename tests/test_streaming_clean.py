@@ -109,3 +109,97 @@ def test_streaming_incremental_dedup_equals_one_shot(spark, tmp_path):
         storage.read("minhash_index").select("doc_id").distinct().count()
         == len(rows)
     )
+
+
+def test_incremental_dedup_batch_replay_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-committed
+    batch_id (crash after commit_multi, before the streaming checkpoint)
+    must be a no-op — index/pairs rows are appended exactly once."""
+    from spiders_for_all_spark.storage import SnapshotStorage
+    from spiders_for_all_spark.streaming.rounds import (
+        incremental_dedup_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b0 = _docs_df(spark, [("d0", base), ("d1", base + " tail")])
+    b1 = _docs_df(spark, [("d2", base), ("d3", "unrelated fresh words")])
+    storage = SnapshotStorage(spark, str(tmp_path / "wh"))
+
+    assert incremental_dedup_batch(storage, b0, 0) is True
+    idx0 = storage.read("minhash_index").count()
+    prs0 = storage.read("minhash_pairs").count()
+    # replay of batch 0: skipped, tables unchanged
+    assert incremental_dedup_batch(storage, b0, 0) is False
+    assert storage.read("minhash_index").count() == idx0
+    assert storage.read("minhash_pairs").count() == prs0
+    # the next batch still applies
+    assert incremental_dedup_batch(storage, b1, 1) is True
+    assert storage.read("minhash_index").count() > idx0
+    # and a replay of it is skipped too
+    assert incremental_dedup_batch(storage, b1, 1) is False
+
+
+def test_sessionize_boundary_matches_session_window(spark):
+    """Boundary semantics, twin-verified: session_window MERGES windows
+    that touch, so an event at exactly last+gap EXTENDS the session —
+    the batch form's `gap > threshold` rule matches it; `>=` would not
+    (it was tried and diverged on exactly this fixture)."""
+    from spiders_for_all_spark.streaming.rounds import sessionize
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00"),
+         (1, "2024-01-01 01:30:01")],
+        "user_id int, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch_sessions = (
+        sessionize(df, gap_minutes=30)
+        .select("session_no").distinct().count()
+    )
+    sw_sessions = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count().count()
+    )
+    # boundary event (00:30) stays in session 1; 01:30:01 (gap 3601s) opens
+    # session 2 in both forms
+    assert batch_sessions == sw_sessions == 2
+
+
+def test_host_budget_timeout_armed_runs(spark, tmp_path):
+    """ProcessingTimeTimeout path: state arms a timeout per update and the
+    hasTimedOut branch exists — with a long duration the single-batch
+    result is identical to NoTimeout."""
+    from spiders_for_all_spark.streaming.rounds import streaming_host_budget
+
+    src = spark.range(0, 12).select(
+        F.when(F.col("id") % 2 == 0, "a.com").otherwise("b.com").alias("host"),
+    )
+    path = str(tmp_path / "fetches_parquet")
+    src.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    q = (
+        streaming_host_budget(
+            stream, budget_total=4,
+            timeout="ProcessingTimeTimeout", timeout_duration_ms=3_600_000,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("host_budget_to")
+        .start()
+    )
+    try:
+        # processAllAvailable() never idles under ProcessingTimeTimeout
+        # (Spark keeps scheduling batches to check timers) — poll the sink.
+        import time
+
+        rows = []
+        for _ in range(120):
+            rows = spark.sql("SELECT * FROM host_budget_to").collect()
+            if len({r["host"] for r in rows}) == 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    by_host = {r["host"]: r for r in rows}
+    assert by_host["a.com"]["n_total"] == 6
+    assert by_host["a.com"]["admitted"] == 4
+    assert by_host["b.com"]["n_total"] == 6

@@ -2287,3 +2287,116 @@ def curation_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
     )
     return mixture_resample(d, _RESAMPLE_TARGET).select("doc_id", "lang")
+
+
+# ===========================================================================
+# Corpus export (operators/export.py): deterministic split / shard /
+# training-order artifacts — the leg between a curated corpus and the
+# trainer's data loader.  All draws are md5-derived integers (the
+# mixture_resample convention), so split/shard/order are reproducible
+# bit-for-bit across engines, partition layouts, and retries.
+
+_SPLIT_WEIGHTS = [("train", 0.90), ("val", 0.05), ("test", 0.05)]
+_EXPORT_SHARDS = 8
+_DRAW_SQL = (
+    "CAST(('0x' || substr(md5('s0:{tag}:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::BIGINT AS BIGINT)"
+)
+
+
+def _split_case_sql() -> str:
+    """CASE arm per split with the SAME float accumulation as
+    operators/export.py:split_assign — thresholds must be the identical
+    integers on both engines, so both are derived from one Python loop."""
+    cum, arms = 0.0, []
+    draw = _DRAW_SQL.format(tag="split")
+    for name, frac in _SPLIT_WEIGHTS[:-1]:
+        cum += frac
+        arms.append(f"WHEN {draw} < {int(cum * 4294967296.0)} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{_SPLIT_WEIGHTS[-1][0]}' END"
+
+
+@_register(
+    "export_split_counts",
+    f"""
+    SELECT {_split_case_sql()} AS split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def export_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment, summarized per (split,
+    lang).  The assignment itself is expression-only (one CASE over a
+    32-bit md5 draw against driver-computed integer thresholds — no
+    shuffle, no join, no RNG state); the summary groupBy is
+    partial-aggregated.  At 100 TB the split column is free."""
+    from spiders_for_all_spark.operators.export import split_assign
+    from spiders_for_all_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+    )
+    return (
+        split_assign(d, _SPLIT_WEIGHTS)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        )
+    )
+
+
+@_register(
+    "export_shard_manifest",
+    f"""
+    WITH s AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             CAST({_DRAW_SQL.format(tag="shard")} % {_EXPORT_SHARDS} AS INT)
+               AS shard,
+             {_DRAW_SQL.format(tag="ord")} AS ord,
+             len({_WORDS_SQL}) AS tok
+      FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           md5(string_agg(id, ',' ORDER BY ord, id)) AS order_fp
+    FROM s GROUP BY shard
+    """,
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity record of the training export: row/token
+    counts + md5 fingerprint of the doc ids in training order (a second
+    independent md5 draw — the baked-in intra-shard shuffle).  One
+    groupBy(shard); the id list per group is bounded by the
+    task-sized-shard invariant the writer itself requires."""
+    from spiders_for_all_spark.operators.export import shard_manifest
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return shard_manifest(d, n_shards=_EXPORT_SHARDS)
+
+
+@_register(
+    "export_vocab_topk",
+    f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+)
+def export_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-50 (vocabulary induction / drift
+    monitoring).  explode -> partial-agg count (the shuffle carries
+    (word, partial n), never the corpus) -> TakeOrderedAndProject;
+    (n DESC, word) is a unique total order so the LIMIT keeps the same
+    rows on every engine."""
+    from spiders_for_all_spark.operators.export import vocab_topk
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return vocab_topk(d, k=50)

@@ -22,7 +22,8 @@ xhs/cli.py:129)        media *paths* travel through the plan
 (bilibili/cli.py:261)  grouping key is the host: fetch all its media
 (no reference analog)  ``maintain`` — compaction + snapshot expiry
 (no reference analog)  ``curate`` — corpus freeze: dedup ->
-                       decontaminate -> quality floor -> stratified sample
+                       decontaminate -> quality floor -> stratified
+                       sample -> split -> training shards + pack manifest
 ``database sql``       ``sql`` — passthrough over sf-dir parquet views
 (database/cli.py:90)   and/or warehouse snapshot tables
 ``database             ``list-schema`` — table -> schema/snapshot listing
@@ -381,6 +382,14 @@ def cmd_curate(ns: argparse.Namespace) -> int:
         passage_n=ns.passage_dedup,
         scrub_pii=ns.scrub_pii,
     )
+    if ns.split:
+        from spiders_for_all_spark.operators.export import split_assign
+
+        weights = [
+            (part.split(":")[0], float(part.split(":")[1]))
+            for part in ns.split.split(",")
+        ]
+        curated = split_assign(curated, weights, seed=ns.seed)
     if ns.out:
         curated.write.mode("overwrite").parquet(ns.out)
         stats = {
@@ -388,6 +397,24 @@ def cmd_curate(ns: argparse.Namespace) -> int:
             "out_docs": spark.read.parquet(ns.out).count(),
             "out": ns.out,
         }
+        if ns.export_shards:
+            from spiders_for_all_spark.operators.export import (
+                shard_manifest,
+                write_shards,
+            )
+
+            frozen = spark.read.parquet(ns.out)
+            if "split" in frozen.columns:
+                frozen = frozen.filter(F.col("split") == "train")
+            write_shards(
+                frozen, ns.out + "_shards", ns.export_shards, seed=ns.seed
+            )
+            shard_manifest(
+                frozen, ns.export_shards, seed=ns.seed
+            ).write.mode("overwrite").parquet(ns.out + "_shard_manifest")
+            stats["shards"] = ns.export_shards
+            stats["shards_out"] = ns.out + "_shards"
+            stats["shard_manifest"] = ns.out + "_shard_manifest"
         if ns.pack_seq_len:
             from spiders_for_all_spark.operators.packing import (
                 pack_manifest,
@@ -518,6 +545,17 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--pack-seq-len", type=int, default=None, metavar="L",
                     help="also write the L-token sequence-packing manifest "
                          "next to --out (concatenate-and-chunk)")
+    cu.add_argument("--split", default=None, metavar="SPEC",
+                    help="deterministic split spec, e.g. "
+                         "train:0.9,val:0.05,test:0.05 (adds a split column "
+                         "to --out)")
+    cu.add_argument("--export-shards", type=int, default=None, metavar="N",
+                    help="also write the train split (or whole freeze "
+                         "without --split) as N training shards next to "
+                         "--out: one file per shard, baked-in seeded order, "
+                         "per-shard integrity manifest")
+    cu.add_argument("--seed", default="s0",
+                    help="seed for split/shard/order draws (default s0)")
     cu.add_argument("--out", default=None, help="curated parquet sink")
     cu.add_argument("--limit", type=int, default=None)
     cu.add_argument("--format", default="table")

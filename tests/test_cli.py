@@ -223,3 +223,36 @@ def test_curate_pack_manifest(spark, capsys, tmp_path):
     assert stats["n_sequences"] == n_seqs
     # every sequence except at most one is exactly full
     assert per_seq.filter(F.col("s") == 128).count() >= n_seqs - 1
+
+
+def test_curate_split_and_export_shards(spark, capsys, tmp_path):
+    """curate --split --export-shards: the freeze carries a split column
+    and the train split lands as one in-order file per shard plus a
+    manifest whose fingerprints match the shard files."""
+    import glob
+    import hashlib
+
+    out = str(tmp_path / "frozen")
+    assert main([
+        "curate", "--sf-dir", SF_DIR,
+        "--split", "train:0.8,val:0.1,test:0.1",
+        "--export-shards", "2", "--out", out,
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["shards"] == 2
+    frozen = spark.read.parquet(out)
+    assert set(
+        r["split"] for r in frozen.select("split").distinct().collect()
+    ) <= {"train", "val", "test"}
+    man = {r["shard"]: r for r in
+           spark.read.parquet(stats["shard_manifest"]).collect()}
+    n_train = frozen.filter(frozen.split == "train").count()
+    assert sum(m["n_docs"] for m in man.values()) == n_train
+    for shard in range(2):
+        files = glob.glob(f"{stats['shards_out']}/shard={shard}/*.parquet")
+        assert len(files) == 1
+        rows = spark.read.parquet(files[0]).orderBy("shard_pos").collect()
+        fp = hashlib.md5(
+            ",".join(str(r["doc_id"]) for r in rows).encode()
+        ).hexdigest()
+        assert fp == man[shard]["order_fp"]

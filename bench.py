@@ -296,6 +296,7 @@ def main() -> None:
         "ann_lsh_topk",
         "text_quality",
         "clean_passage_dedup",
+        "export_shard_manifest",
         "windowed_event_counts",
         "sessionize_events",
     ]

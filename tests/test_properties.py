@@ -344,3 +344,59 @@ def test_blocklist_matches_model(spark, hosts, domains):
         if not any(s in domains for s in _suffixes_model(h))
     }
     assert got == want
+
+
+def _export_model(doc_ids, weights, n_shards, seed="s0"):
+    """Pure-Python spec of export.split_assign + shard_assign: the same
+    md5 draws and the same integer thresholds, computed independently."""
+    import hashlib
+
+    def draw32(tag, did):
+        h = hashlib.md5(f"{seed}:{tag}:{did}".encode()).hexdigest()
+        return int(h[:8], 16)
+
+    thrs, cum = [], 0.0
+    for name, frac in weights[:-1]:
+        cum += frac
+        thrs.append((int(cum * 4294967296.0), name))
+    out = {}
+    for did in doc_ids:
+        d = draw32("split", did)
+        split = next((n for t, n in thrs if d < t), weights[-1][0])
+        shard = draw32("shard", did) % n_shards
+        out[did] = (split, shard, draw32("ord", did))
+    # within-shard positions: rank of the ord draw (ties broken by id)
+    by_shard = {}
+    for did, (_, shard, o) in out.items():
+        by_shard.setdefault(shard, []).append((o, did))
+    pos = {}
+    for rows in by_shard.values():
+        for i, (_, did) in enumerate(sorted(rows), start=1):
+            pos[did] = i
+    return {d: (s, sh, pos[d]) for d, (s, sh, _) in out.items()}
+
+
+@pytest.mark.parametrize("seed", [7, 19])
+def test_export_split_shard_matches_model(spark, seed):
+    """Spark split/shard/order assignment == the independent Python md5
+    model, including non-ASCII ids (utf-8 byte agreement in the concat ->
+    md5 path) — the determinism the training-export contract rests on."""
+    import random
+
+    from spiders_for_all_spark.operators.export import (
+        shard_assign,
+        split_assign,
+    )
+
+    rng = random.Random(seed)
+    ids = [f"doc-{rng.randrange(10**6)}" for _ in range(50)]
+    ids += ["ünïcode-1", "文档-2", "d with space", ""]
+    weights = [("train", 0.7), ("val", 0.2), ("test", 0.1)]
+    model = _export_model(ids, weights, n_shards=3)
+    df = spark.createDataFrame([(d, "txt") for d in ids],
+                               "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["split"], r["shard"], r["shard_pos"])
+        for r in shard_assign(split_assign(df, weights), n_shards=3).collect()
+    }
+    assert got == model

@@ -29,6 +29,8 @@ SUBSET = [
     "ann_brute_force_topk",
     "text_quality",
     "sessionize_events",
+    "export_split_counts",
+    "export_shard_manifest",
 ]
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spiders_for_all_spark.functions.text import (
+    let,
     normalize_text,
     shingles,
     token_count,
@@ -63,14 +64,19 @@ def passage_array(text: Column, n_words: int = 12) -> Column:
     byte-identical passage strings, which dedup by hash without any
     alignment search.
     """
-    w = words(text)
-    n_chunks = F.ceil(F.size(w) / F.lit(float(n_words))).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(w, (i * n_words + 1).cast("int"), n_words)
-        ),
-    )
+
+    def build(w: Column) -> Column:
+        n_chunks = F.ceil(F.size(w) / F.lit(float(n_words))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, (i * n_words + 1).cast("int"), n_words)
+            ),
+        )
+
+    # let-bind the words array: slice(w) inside the lambda would otherwise
+    # re-run the whole normalize+split chain once per chunk (see text.let)
+    return let(words(text), build)
 
 
 def passage_dedup(
@@ -177,12 +183,14 @@ def scrub_documents(
 
 
 def dup_word_fraction(text: Column) -> Column:
-    w = words(text)
-    return F.round(
-        1
-        - F.size(F.array_distinct(w))
-        / F.greatest(F.size(w), F.lit(1)).cast("double"),
-        6,
+    return let(
+        words(text),
+        lambda w: F.round(
+            1
+            - F.size(F.array_distinct(w))
+            / F.greatest(F.size(w), F.lit(1)).cast("double"),
+            6,
+        ),
     )
 
 
@@ -193,17 +201,23 @@ def top_bigram_fraction(text: Column) -> Column:
     distinct bigram, count its occurrences with a filtered array scan.
     O(distinct x total) per row — documents are bounded, corpora are not,
     so per-row arithmetic beats a per-corpus shuffle at any scale.
+    The bigram array is let-bound (text.let): referenced inside the
+    per-distinct-bigram lambda, an unbound ``shingles(text, 2)`` would
+    re-shingle the whole document once per distinct bigram.
     """
-    bg = shingles(text, 2)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda d: F.size(F.filter(bg, lambda x: x == d)),
+
+    def frac(bg: Column) -> Column:
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda d: F.size(F.filter(bg, lambda x: x == d)),
+            )
         )
-    )
-    return F.when(F.size(bg) <= 0, F.lit(0.0)).otherwise(
-        F.round(top / F.size(bg).cast("double"), 6)
-    )
+        return F.when(F.size(bg) <= 0, F.lit(0.0)).otherwise(
+            F.round(top / F.size(bg).cast("double"), 6)
+        )
+
+    return let(shingles(text, 2), frac)
 
 
 def repetition_signals(

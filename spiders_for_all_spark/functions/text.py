@@ -77,9 +77,12 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or LANG_PROFILES["en"]
-    w = words(text)
-    hits = F.size(F.filter(w, lambda x: x.isin(sw)))
-    return F.round(hits / F.greatest(F.size(w), F.lit(1)), 6)
+
+    def ratio(w: Column) -> Column:
+        hits = F.size(F.filter(w, lambda x: x.isin(sw)))
+        return F.round(hits / F.greatest(F.size(w), F.lit(1)), 6)
+
+    return let(words(text), ratio)
 
 
 def punct_ratio(text: Column) -> Column:
@@ -90,14 +93,22 @@ def punct_ratio(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite quality in [0,1]: length band + low punctuation + word variety.
 
-    Deterministic arithmetic only (rounded) so the DuckDB oracle hashes match.
+    Deterministic arithmetic only (rounded) so the DuckDB oracle hashes
+    match.  The words array is let-bound: token count + distinct ratio
+    would otherwise re-run the normalize+split chain 3x per row.
     """
-    n_tok = token_count(text)
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    distinct_ratio = F.size(F.array_distinct(words(text))) / F.greatest(
-        n_tok, F.lit(1)
-    )
-    return F.round((len_score + (1 - punct_ratio(text)) + distinct_ratio) / 3.0, 6)
+
+    def score(w: Column) -> Column:
+        n_tok = F.size(w)
+        len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        distinct_ratio = F.size(F.array_distinct(w)) / F.greatest(
+            n_tok, F.lit(1)
+        )
+        return F.round(
+            (len_score + (1 - punct_ratio(text)) + distinct_ratio) / 3.0, 6
+        )
+
+    return let(words(text), score)
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -113,13 +124,22 @@ def lang_id(text: Column) -> Column:
 
     Expressed as a single max-over-structs so Catalyst evaluates it in one
     projection: max(struct(score, neg_lang)) picks highest score, then the
-    lexicographically smallest language on ties.
+    lexicographically smallest language on ties.  One let-bound words
+    array feeds all per-language counters (split once, not once per
+    language).
     """
-    scored = [
-        F.struct(score.alias("s"), F.lit(lang).alias("lang"))
-        for lang, score in sorted(lang_scores(text).items(), reverse=True)
-    ]
-    return F.greatest(*scored).getField("lang")
+
+    def pick(w: Column) -> Column:
+        scored = [
+            F.struct(
+                F.size(F.filter(w, lambda x: x.isin(prof))).alias("s"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, prof in sorted(LANG_PROFILES.items(), reverse=True)
+        ]
+        return F.greatest(*scored).getField("lang")
+
+    return let(words(text), pick)
 
 
 def fingerprint(text: Column) -> Column:

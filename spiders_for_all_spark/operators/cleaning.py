@@ -252,11 +252,13 @@ def repetition_signals(
 def host_suffixes(host: Column) -> Column:
     """All dot-suffixes of a hostname: a.b.example.com ->
     [a.b.example.com, b.example.com, example.com, com]."""
-    parts = F.split(host, r"\.")
-    return F.transform(
-        F.sequence(F.lit(1), F.size(parts)),
-        lambda i: F.array_join(
-            F.slice(parts, i.cast("int"), F.size(parts) - i + 1), "."
+    return let(
+        F.split(host, r"\."),
+        lambda parts: F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(
+                F.slice(parts, i.cast("int"), F.size(parts) - i + 1), "."
+            ),
         ),
     )
 

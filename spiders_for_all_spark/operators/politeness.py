@@ -141,14 +141,19 @@ def robots_gate(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     """
     if robots is None:
         return frontier
+    from spiders_for_all_spark.functions.text import let
+
     path = F.regexp_extract(
         F.col("canonical_url"), r"^[a-z]+://[^/?#]*([^?#]*)", 1
     )
     joined = frontier.join(
         F.broadcast(robots.select("host", "disallow")), on="host", how="left"
     )
-    blocked = F.exists(
-        F.col("disallow"), lambda d: F.startswith(path, d)
+    # let-bind the extracted path: referenced inside the exists() lambda,
+    # the regexp would otherwise re-run once per disallow rule per URL
+    blocked = let(
+        path,
+        lambda p: F.exists(F.col("disallow"), lambda d: F.startswith(p, d)),
     )
     return joined.filter(~F.coalesce(blocked, F.lit(False))).drop("disallow")
 

@@ -28,7 +28,7 @@ freeze.  Design constraints at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spiders_for_all_spark.functions.text import (
@@ -125,6 +125,169 @@ def passage_dedup(
             ),
         ).alias("text_kept"),
     ).withColumnRenamed("_id", id_col)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window exact-substring dedup (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — public algorithm).  The
+# passage grid above only catches duplicates ALIGNED to the grid; the
+# sliding k-gram pass catches a duplicated region at ANY word offset, the
+# way the suffix-array pass in the paper does — re-expressed as a pure
+# equality problem so it runs as groupBy/join instead of a global sort:
+# every k-word window is hashed, a window duplicated anywhere in the
+# corpus marks all its occurrences except the globally-first, and the
+# marked word ranges are merged per document into maximal removal spans
+# (gaps-and-islands).  Shuffle discipline: only (hash, id, pos) triples
+# ride the gram shuffle — never text; the keeper election is a
+# partial-aggregatable min(struct) (map-side combine absorbs boilerplate
+# skew); the island merge windows over doc_id, the same key every per-doc
+# agg shuffles on.
+
+
+def gram_array(text: Column, k: int = 8) -> Column:
+    """All sliding ``k``-word windows of a document (array<string>, one
+    entry per word offset; empty for documents shorter than ``k`` words).
+    """
+
+    def build(w: Column) -> Column:
+        n = F.size(w) - (k - 1)
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # let-bind words: slice(w) inside the per-gram lambda would otherwise
+    # re-run the normalize+split chain once per gram (see text.let)
+    return let(words(text), build)
+
+
+def duplicated_gram_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """(_id, pos) of every sliding ``k``-gram occurrence that duplicates
+    an earlier one anywhere in the corpus (keeper = min (id, pos), the
+    occurrence the dedup pass preserves).  ``pos`` is the 0-based word
+    offset of the gram's first word."""
+    occ = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.posexplode(gram_array(F.col(text_col), k)).alias("pos", "gram"),
+    ).select("_id", "pos", F.md5("gram").alias("h"))
+    stats = occ.groupBy("h").agg(
+        F.count("*").alias("n"), F.min(F.struct("_id", "pos")).alias("k0")
+    )
+    return (
+        occ.join(stats.filter(F.col("n") > 1), "h")
+        .filter(
+            ~(
+                (F.col("_id") == F.col("k0._id"))
+                & (F.col("pos") == F.col("k0.pos"))
+            )
+        )
+        .select("_id", "pos")
+    )
+
+
+def substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Maximal duplicated-substring removal spans per document.
+
+    Returns (id, span_start, span_end, n_grams): inclusive 0-based word
+    ranges covering every non-keeper occurrence of a corpus-duplicated
+    ``k``-gram, with overlapping/adjacent gram ranges merged
+    (gaps-and-islands over the per-doc position stream).  This is the
+    removal manifest a Lee-et-al exact-substring pass feeds to the
+    scrubber — kept separate so a pipeline can audit before destroying.
+    """
+    dup = duplicated_gram_positions(df, text_col, id_col, k)
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "f",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("_id", "isl")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("int").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end", "n_grams")
+    )
+
+
+def scrub_substring_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Apply the :func:`substring_spans` manifest: per document, drop every
+    word inside a removal span and reassemble the survivors in order.
+
+    Returns (id, n_words, n_removed, text_kept) for EVERY document.  The
+    corpus text never rides a shuffle: only the span manifest (docs that
+    actually contain a duplicated region) is aggregated and equi-joined
+    back on the doc key — AQE broadcasts it when small — and the word
+    filtering happens expression-side (an index-lambda ``filter`` against
+    the let-bound span array), not by exploding words through an exchange.
+    """
+    span_struct = "array<struct<span_start:int,span_end:int>>"
+    per_doc = (
+        substring_spans(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    joined = df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(text_col).alias("_text"),
+    ).join(per_doc, id_col, "left")
+
+    def body(sp: Column) -> Column:
+        def with_words(w: Column) -> Column:
+            kept_expr = F.filter(
+                w,
+                lambda wd, i: ~F.exists(
+                    sp,
+                    lambda s: (i >= s.getField("span_start"))
+                    & (i <= s.getField("span_end")),
+                ),
+            )
+            return let(
+                kept_expr,
+                lambda kept: F.struct(
+                    F.size(w).cast("bigint").alias("n_words"),
+                    (F.size(w) - F.size(kept)).cast("bigint").alias("n_removed"),
+                    F.concat_ws(" ", kept).alias("text_kept"),
+                ),
+            )
+
+        return let(words(F.col("_text")), with_words)
+
+    return joined.select(
+        id_col,
+        let(
+            F.coalesce(F.col("_spans"), F.array().cast(span_struct)), body
+        ).alias("_r"),
+    ).select(id_col, "_r.*")
 
 
 # ---------------------------------------------------------------------------

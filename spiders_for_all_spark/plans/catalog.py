@@ -504,6 +504,54 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "crawl_recrawl_schedule",
+    """
+    WITH f AS (SELECT user_id AS url_id, ts, event_id, md5(props) AS fp
+               FROM events),
+    lagged AS (SELECT url_id, ts, event_id,
+                      CASE WHEN lag(fp) OVER w IS NULL
+                                OR fp <> lag(fp) OVER w
+                           THEN 1 ELSE 0 END AS chg,
+                      row_number() OVER w AS rn
+               FROM f
+               WINDOW w AS (PARTITION BY url_id ORDER BY ts, event_id)),
+    agg AS (SELECT url_id,
+                   CAST(count(*) AS BIGINT) AS n_fetches,
+                   CAST(sum(chg) AS BIGINT) AS n_changes,
+                   CAST(count(*) - max(CASE WHEN chg = 1 THEN rn END)
+                        AS BIGINT) AS unchanged_streak,
+                   epoch_us(max(ts)) AS last_us
+            FROM lagged GROUP BY url_id)
+    SELECT url_id, n_fetches, n_changes, unchanged_streak,
+           CAST(3600 * (1 << least(unchanged_streak, 6)) AS BIGINT)
+               AS interval_s,
+           CAST(last_us
+                + 3600 * (1 << least(unchanged_streak, 6)) * 1000000
+                AS BIGINT) AS next_fetch_us
+    FROM agg
+    """,
+)
+def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina-style exponential
+    backoff on unchanged content) over a derived fetch history: events
+    re-interpreted as fetches (url = user_id, content fingerprint =
+    md5(props)).  One shuffle on the URL key; the per-URL aggregate reuses
+    the window's partitioning — no second exchange.  The reference
+    re-fetches everything on every run (core/spider.py:196-236); this is
+    the operator that makes a 10^10-URL frontier affordable to keep fresh.
+    """
+    from spiders_for_all_spark.operators.recrawl import recrawl_schedule
+
+    f = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("url_id"),
+        "ts",
+        F.col("event_id").alias("fetch_id"),
+        F.md5("props").alias("fingerprint"),
+    )
+    return recrawl_schedule(f, base_s=3600, max_doublings=6)
+
+
 # ===========================================================================
 # Training-data pipeline queries (dedup / similarity / text / multimodal).
 # Shared SQL fragments keep the oracle byte-equivalent to the Catalyst plans.
@@ -1796,6 +1844,112 @@ def clean_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = passage_dedup(d, n_words=_PASSAGE_N)
     return out.select(
         "doc_id", "n_passages", "n_kept", F.md5("text_kept").alias("kept_fp")
+    )
+
+
+_SUBSTR_K = 8
+
+# Sliding k-gram duplicate positions (Lee-et-al exact-substring pass at
+# ANY word offset — the passage grid above only catches grid-aligned
+# copies).  Shared by the span-manifest and scrub oracles.
+_SUBSTR_DUP_SQL = f"""
+    docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_NORM_SQL} AS norm
+             FROM documents),
+    w AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
+    g0 AS (SELECT doc_id,
+                  unnest([{{'pos': i,
+                            'gram': array_to_string(w[i+1:i+{_SUBSTR_K}], ' ')}}
+                          for i in range(greatest(len(w)-{_SUBSTR_K - 1}, 0))]) AS u
+           FROM w),
+    g AS (SELECT doc_id, u.pos AS pos, md5(u.gram) AS h FROM g0),
+    ranked AS (SELECT doc_id, pos,
+                      count(*) OVER (PARTITION BY h) AS n,
+                      row_number() OVER (PARTITION BY h
+                          ORDER BY doc_id, pos) AS rn
+               FROM g),
+    dup AS (SELECT doc_id, pos FROM ranked WHERE n > 1 AND rn > 1)
+"""
+
+_SUBSTR_SPANS_SQL = f"""
+    WITH {_SUBSTR_DUP_SQL},
+    isl0 AS (SELECT doc_id, pos,
+                    max(pos + {_SUBSTR_K - 1}) OVER (PARTITION BY doc_id
+                        ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+             FROM dup),
+    flag AS (SELECT doc_id, pos,
+                    CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                         THEN 1 ELSE 0 END AS f
+             FROM isl0),
+    island AS (SELECT doc_id, pos,
+                      sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS isl
+               FROM flag),
+    spans AS (SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+                     CAST(max(pos) + {_SUBSTR_K - 1} AS INT) AS span_end,
+                     count(*) AS n_grams
+              FROM island GROUP BY doc_id, isl)
+"""
+
+
+@_register(
+    "dedup_substring_spans",
+    _SUBSTR_SPANS_SQL
+    + """
+    SELECT doc_id, span_start, span_end, n_grams FROM spans
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact-substring dedup manifest (Lee et al. 2021
+    re-expressed as hash-equality): every non-keeper occurrence of a
+    corpus-duplicated 8-word window, merged per doc into maximal removal
+    spans.  Only (hash, id, pos) triples ride the gram shuffle; keeper
+    election is a partial-agg min(struct).  The reference stores raw
+    scraped rows and never dedups them (core/spider.py:196-236)."""
+    from spiders_for_all_spark.operators.cleaning import substring_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_spans(d, k=_SUBSTR_K)
+
+
+@_register(
+    "clean_substring_scrub",
+    _SUBSTR_SPANS_SQL
+    + f""",
+    wrds AS (SELECT doc_id, u.wpos AS wpos, u.word AS word
+             FROM (SELECT doc_id,
+                          unnest([{{'wpos': i, 'word': w[i+1]}}
+                                  for i in range(len(w))]) AS u
+                   FROM w)),
+    covered AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {_SUBSTR_K}))
+                    AS wpos
+                FROM dup),
+    marked AS (SELECT wr.doc_id, wr.wpos, wr.word,
+                      c.wpos IS NOT NULL AS cov
+               FROM wrds wr LEFT JOIN covered c
+                 ON c.doc_id = wr.doc_id AND c.wpos = wr.wpos)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN NOT cov THEN word END,
+                                   ' ' ORDER BY wpos), '')) AS kept_fp
+    FROM marked GROUP BY doc_id
+    """,
+)
+def clean_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the exact-substring removal manifest: drop every word inside
+    a duplicated span, reassemble survivors in order.  The corpus text
+    never rides a shuffle — the span manifest equi-joins back on doc_id
+    and the word filter runs expression-side (index-lambda over the
+    let-bound span array)."""
+    from spiders_for_all_spark.operators.cleaning import scrub_substring_dups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = scrub_substring_dups(d, k=_SUBSTR_K)
+    return out.select(
+        "doc_id", "n_words", "n_removed", F.md5("text_kept").alias("kept_fp")
     )
 
 

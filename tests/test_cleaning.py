@@ -205,3 +205,95 @@ def test_pii_counts_reconcile_with_scrubbed_tags(spark):
         assert r["n_emails"] == t.count("<EMAIL>")
         assert r["n_ips"] == t.count("<IP>")
         assert r["n_phones"] == t.count("<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# sliding-window exact-substring dedup (Lee-et-al-style, any word offset)
+
+
+def test_substring_spans_unaligned_duplicate(spark):
+    # the duplicated 4-gram "c d e f" sits at word offset 2 in doc 1 and
+    # offset 0 in doc 2 — a passage GRID would miss it; the sliding pass
+    # must not.  Keeper = min (id, pos) = doc "1" pos 2, so only doc 2's
+    # occurrence becomes a removal span.
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "c d e f q r s t"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = CL.substring_spans(corpus, k=4).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"]) for r in spans] == [
+        ("2", 0, 3, 1)
+    ]
+
+
+def test_substring_spans_merge_overlapping_islands(spark):
+    # doc 2 repeats doc 1's words 0..5 → three overlapping dup 4-grams at
+    # pos 0,1,2 merge into ONE maximal span [0, 5]
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f x1 x2 x3"),
+            (2, "a b c d e f y1 y2 y3"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = CL.substring_spans(corpus, k=4).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"]) for r in spans] == [
+        ("2", 0, 5, 3)
+    ]
+
+
+def test_substring_spans_disjoint_islands_stay_separate(spark):
+    # two duplicated regions separated by unique words → two spans
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d u1 u2 u3 p q r s"),
+            (2, "a b c d v1 v2 v3 p q r s"),
+        ],
+        "doc_id bigint, text string",
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in CL.substring_spans(corpus, k=4).collect()
+    )
+    assert spans == [("2", 0, 3), ("2", 7, 10)]
+
+
+def test_substring_spans_short_docs_produce_no_grams(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id bigint, text string"
+    )
+    assert CL.substring_spans(corpus, k=4).count() == 0
+
+
+def test_scrub_substring_dups_removes_span_words_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "c d e f q r s t"),
+            (3, "totally unique words here only once ever seen"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["text_kept"])
+        for r in CL.scrub_substring_dups(corpus, k=4).collect()
+    }
+    assert out["1"] == (8, 0, "a b c d e f g h")  # keeper copy untouched
+    assert out["2"] == (8, 4, "q r s t")
+    assert out["3"] == (8, 0, "totally unique words here only once ever seen")
+
+
+def test_scrub_substring_dups_whole_doc_duplicate(spark):
+    # doc 2 is a byte-identical copy → fully covered, empty text_kept
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["text_kept"])
+        for r in CL.scrub_substring_dups(corpus, k=4).collect()
+    }
+    assert out["1"] == (6, 0, "a b c d e f")
+    assert out["2"] == (6, 6, "")

@@ -296,6 +296,8 @@ def main() -> None:
         "ann_lsh_topk",
         "text_quality",
         "clean_passage_dedup",
+        "dedup_substring_spans",
+        "crawl_recrawl_schedule",
         "export_shard_manifest",
         "windowed_event_counts",
         "sessionize_events",

@@ -291,6 +291,77 @@ def scrub_substring_dups(
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (the CCNet-style quality signal: score each
+# document by how predictable its text is under an n-gram LM trained on
+# the corpus itself — Wenzek et al. 2020, "CCNet: Extracting high quality
+# monolingual datasets from web crawl data", public algorithm.  Low
+# bits/token = repetitive boilerplate, high = rare noise; the filter keeps
+# the middle band).  Scale shape: bigram counts are partial-aggregatable
+# groupBys on the bigram key; scoring joins each doc's bigrams back to the
+# count tables on the same key — only (id, w1, w2) triples shuffle, never
+# document text.  Float discipline: every aggregation under the logs is an
+# integer count; the single float reduction (mean of per-bigram surprisal)
+# is rounded to 4 decimals so a last-ulp libm/summation-order difference
+# between engines cannot flip the comparison.
+
+
+def bigram_structs(text: Column) -> Column:
+    """Adjacent word pairs of a document (array<struct<w1,w2>>, empty for
+    documents with fewer than 2 words)."""
+
+    def build(w: Column) -> Column:
+        n = F.size(w) - 1
+        return F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.element_at(w, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    return let(words(text), build)
+
+
+def lm_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram surprisal under the corpus's own bigram LM.
+
+    Returns (id, n_bigrams, bits_per_token) for every document with at
+    least one bigram: ``bits_per_token = mean(-log2(c(w1,w2) / c(w1·)))``
+    where the counts come from the scored corpus itself (self-scoring —
+    the held-out variant just trains the count tables on a different
+    DataFrame; p is always well-defined because every scored bigram was
+    counted).
+    """
+    bg = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.explode(bigram_structs(F.col(text_col))).alias("b"),
+    ).select("_id", "b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log2(
+                        F.col("c12").cast("double") / F.col("c1").cast("double")
+                    )
+                ),
+                4,
+            ).alias("bits_per_token"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing
 
 

@@ -297,3 +297,50 @@ def test_scrub_substring_dups_whole_doc_duplicate(spark):
     }
     assert out["1"] == (6, 0, "a b c d e f")
     assert out["2"] == (6, 6, "")
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (CCNet-style quality signal)
+
+
+def test_lm_perplexity_hand_computed(spark):
+    # corpus bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; starts: a=3, b=1.
+    # doc 1 "a b a b": bigrams (a,b),(b,a),(a,b)
+    #   bits = mean(-log2(2/3), -log2(1/1), -log2(2/3)) = 2*log2(1.5)/3
+    # doc 2 "a c": bits = -log2(1/3) = log2(3)
+    corpus = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_token"])
+        for r in CL.lm_perplexity(corpus).collect()
+    }
+    import math
+
+    assert out["1"] == (3, round(2 * math.log2(1.5) / 3, 4))
+    assert out["2"] == (1, round(math.log2(3), 4))
+
+
+def test_lm_perplexity_repetitive_doc_scores_lower(spark):
+    # predictable boilerplate under the corpus LM scores fewer bits/token
+    # than a doc of corpus-rare transitions
+    corpus = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "spam spam spam spam spam spam spam spam"),
+            (3, "spam unusual spam weird spam strange"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["bits_per_token"] for r in CL.lm_perplexity(corpus).collect()
+    }
+    assert out["1"] < out["3"]
+
+
+def test_lm_perplexity_single_word_docs_have_no_bigrams(spark):
+    corpus = spark.createDataFrame(
+        [(1, "lonely"), (2, "a b")], "doc_id bigint, text string"
+    )
+    rows = CL.lm_perplexity(corpus).collect()
+    assert [r["doc_id"] for r in rows] == ["2"]

@@ -381,6 +381,9 @@ def cmd_curate(ns: argparse.Namespace) -> int:
         repetition_filter=ns.repetition_filter,
         passage_n=ns.passage_dedup,
         scrub_pii=ns.scrub_pii,
+        substring_k=ns.substring_dedup,
+        min_lm_bits=ns.min_lm_bits,
+        max_lm_bits=ns.max_lm_bits,
     )
     if ns.split:
         from spiders_for_all_spark.operators.export import split_assign
@@ -542,6 +545,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="passage-level exact dedup on an N-word grid")
     cu.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPs/phones in the frozen text")
+    cu.add_argument("--substring-dedup", type=int, default=None, metavar="K",
+                    help="sliding-window exact-substring scrub: remove "
+                         "corpus-duplicated K-word windows at any offset "
+                         "(keeper copy preserved)")
+    cu.add_argument("--min-lm-bits", type=float, default=None,
+                    help="drop docs below this bigram-LM bits/token "
+                         "(boilerplate)")
+    cu.add_argument("--max-lm-bits", type=float, default=None,
+                    help="drop docs above this bigram-LM bits/token (noise)")
     cu.add_argument("--pack-seq-len", type=int, default=None, metavar="L",
                     help="also write the L-token sequence-packing manifest "
                          "next to --out (concatenate-and-chunk)")

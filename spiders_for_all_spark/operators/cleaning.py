@@ -328,14 +328,19 @@ def bigram_structs(text: Column) -> Column:
 def lm_perplexity(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-document bigram surprisal under the corpus's own bigram LM.
+    """Per-document bigram surprisal under the corpus's own bigram LM,
+    Laplace-smoothed.
 
     Returns (id, n_bigrams, bits_per_token) for every document with at
-    least one bigram: ``bits_per_token = mean(-log2(c(w1,w2) / c(w1·)))``
-    where the counts come from the scored corpus itself (self-scoring —
-    the held-out variant just trains the count tables on a different
-    DataFrame; p is always well-defined because every scored bigram was
-    counted).
+    least one bigram: ``bits_per_token = mean(-log2((c(w1,w2) + 1) /
+    (c(w1·) + V)))`` with V the corpus bigram-start vocabulary.  The
+    add-one smoothing is what gives the score its filtering power: an
+    UNSMOOTHED self-scored LM assigns 0 bits to any once-seen transition
+    (c12 = c1 = 1 — rare garbage looks perfectly predictable); smoothed,
+    a rare transition costs ~log2(V) bits while corpus boilerplate stays
+    cheap.  It also makes held-out scoring well-defined (train the count
+    tables on a different DataFrame; unseen bigrams get the 1/(c1+V)
+    floor).
     """
     bg = df.select(
         F.col(id_col).cast("string").alias("_id"),
@@ -343,7 +348,10 @@ def lm_perplexity(
     ).select("_id", "b.w1", "b.w2")
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    scored = bg.join(c12, ["w1", "w2"]).join(c1, "w1")
+    vocab = bg.agg(F.countDistinct("w1").alias("v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"]).join(c1, "w1").crossJoin(F.broadcast(vocab))
+    )
     return (
         scored.groupBy("_id")
         .agg(
@@ -351,7 +359,8 @@ def lm_perplexity(
             F.round(
                 F.avg(
                     -F.log2(
-                        F.col("c12").cast("double") / F.col("c1").cast("double")
+                        (F.col("c12") + 1).cast("double")
+                        / (F.col("c1") + F.col("v")).cast("double")
                     )
                 ),
                 4,

@@ -114,12 +114,15 @@ def curate_corpus(
     max_top_bigram_frac: float | None = None,
     passage_n: int | None = None,
     scrub_pii: bool = False,
+    substring_k: int | None = None,
+    min_lm_bits: float | None = None,
+    max_lm_bits: float | None = None,
 ) -> DataFrame:
     """The corpus-freeze composition every pretraining pipeline runs:
     domain blocklist -> repetition filter -> near-dedup (keep cluster
-    representatives) -> passage-level exact dedup -> eval-set
-    decontamination -> quality floor -> PII scrub -> optional stratified
-    sample.
+    representatives) -> passage-level exact dedup -> sliding-window
+    exact-substring scrub -> eval-set decontamination -> quality floor ->
+    LM-perplexity band -> PII scrub -> optional stratified sample.
 
     Each stage is one of this module's / textdedup's / cleaning's
     oracle-checked operators; the composition stays lazy (one DataFrame
@@ -174,6 +177,22 @@ def curate_corpus(
             .withColumnRenamed("text_kept", text_col)
             .drop("n_kept")
         )
+    if substring_k is not None:
+        # sliding-window exact-substring scrub (any word offset — catches
+        # what the passage grid misses); docs scrubbed to nothing drop
+        from spiders_for_all_spark.operators.cleaning import (
+            scrub_substring_dups,
+        )
+
+        kept = scrub_substring_dups(out, text_col, id_col, substring_k)
+        out = (
+            out.withColumn("_sid", F.col(id_col).cast("string"))
+            .drop(text_col)
+            .join(kept.withColumnRenamed(id_col, "_sid"), on="_sid")
+            .filter(F.col("n_removed") < F.col("n_words"))
+            .withColumnRenamed("text_kept", text_col)
+            .drop("_sid", "n_removed", "n_words")
+        )
     if eval_docs is not None:
         bad = (
             decontaminate(
@@ -185,6 +204,23 @@ def curate_corpus(
         out = out.join(bad, on=id_col, how="left_anti")
     if min_quality is not None:
         out = out.filter(quality_score(F.col(text_col)) >= min_quality)
+    if min_lm_bits is not None or max_lm_bits is not None:
+        # CCNet-style perplexity band: keep the middle, drop boilerplate
+        # (low bits) and noise (high bits).  Inner join also drops docs
+        # with no bigrams (<2 words) — they carry no LM signal.
+        from spiders_for_all_spark.operators.cleaning import lm_perplexity
+
+        scores = lm_perplexity(out, text_col, id_col).withColumnRenamed(
+            id_col, "_sid"
+        )
+        out = out.withColumn("_sid", F.col(id_col).cast("string")).join(
+            scores, on="_sid"
+        )
+        if min_lm_bits is not None:
+            out = out.filter(F.col("bits_per_token") >= min_lm_bits)
+        if max_lm_bits is not None:
+            out = out.filter(F.col("bits_per_token") <= max_lm_bits)
+        out = out.drop("_sid", "n_bigrams", "bits_per_token")
     if scrub_pii:
         out = out.withColumn(text_col, pii_scrub(F.col(text_col)))
     if sample_k is not None:

@@ -1966,23 +1966,25 @@ def clean_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 for i in range(greatest(len(w)-1, 0))]) AS u
                  FROM w)),
     c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w1) AS v FROM bg)
     SELECT bg.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(-log2(CAST(c12.c12 AS DOUBLE) / c1.c1)), 4)
-               AS bits_per_token
+           round(avg(-log2(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + vocab.v))),
+                 4) AS bits_per_token
     FROM bg
     JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
     JOIN c1 ON c1.w1 = bg.w1
+    CROSS JOIN vocab
     GROUP BY bg.doc_id
     """.replace("{norm}", _NORM_SQL),
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality signal: per-doc bigram surprisal under the
-    corpus's own bigram LM (Wenzek et al. 2020).  All aggregation under
-    the logs is integer counts; the one float reduction is rounded to 4
-    decimals.  The reference stores raw rows and has no quality scoring
-    (core/spider.py:196-236)."""
+    corpus's own Laplace-smoothed bigram LM (Wenzek et al. 2020).  All
+    aggregation under the logs is integer counts; the one float reduction
+    is rounded to 4 decimals.  The reference stores raw rows and has no
+    quality scoring (core/spider.py:196-236)."""
     from spiders_for_all_spark.operators.cleaning import lm_perplexity
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")

@@ -304,10 +304,11 @@ def test_scrub_substring_dups_whole_doc_duplicate(spark):
 
 
 def test_lm_perplexity_hand_computed(spark):
-    # corpus bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; starts: a=3, b=1.
+    # corpus bigram counts: (a,b)=2, (b,a)=1, (a,c)=1; starts: a=3, b=1;
+    # bigram-start vocab V = {a, b} = 2.  Laplace: p = (c12+1)/(c1+V).
     # doc 1 "a b a b": bigrams (a,b),(b,a),(a,b)
-    #   bits = mean(-log2(2/3), -log2(1/1), -log2(2/3)) = 2*log2(1.5)/3
-    # doc 2 "a c": bits = -log2(1/3) = log2(3)
+    #   bits = mean(-log2(3/5), -log2(2/3), -log2(3/5))
+    # doc 2 "a c": bits = -log2(2/5)
     corpus = spark.createDataFrame(
         [(1, "a b a b"), (2, "a c")], "doc_id bigint, text string"
     )
@@ -317,8 +318,10 @@ def test_lm_perplexity_hand_computed(spark):
     }
     import math
 
-    assert out["1"] == (3, round(2 * math.log2(1.5) / 3, 4))
-    assert out["2"] == (1, round(math.log2(3), 4))
+    ab = -math.log2(3 / 5)
+    ba = -math.log2(2 / 3)
+    assert out["1"] == (3, round((2 * ab + ba) / 3, 4))
+    assert out["2"] == (1, round(-math.log2(2 / 5), 4))
 
 
 def test_lm_perplexity_repetitive_doc_scores_lower(spark):
@@ -344,3 +347,54 @@ def test_lm_perplexity_single_word_docs_have_no_bigrams(spark):
     )
     rows = CL.lm_perplexity(corpus).collect()
     assert [r["doc_id"] for r in rows] == ["2"]
+
+
+def test_curate_corpus_substring_and_lm_stages(spark):
+    """curate_corpus's new stages compose: the sliding substring scrub
+    removes an unaligned duplicated region (keeper untouched), a
+    whole-doc duplicate scrubs to empty and drops, and the LM band drops
+    the pure-boilerplate doc."""
+    from spiders_for_all_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "alpha beta gamma delta echo foxtrot golf hotel"),
+            ("2", "pad1 alpha beta gamma delta tail1 tail2 tail3"),
+            ("3", "alpha beta gamma delta echo foxtrot golf hotel"),
+            ("4", "spam spam spam spam spam spam spam spam"),
+            ("5", "india juliet kilo lima mike november oscar papa"),
+        ],
+        "doc_id string, text string",
+    )
+    out = curate_corpus(docs, substring_k=4)
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # near-dedup drops doc 3 (exact copy of 1 -> same minhash cluster);
+    # doc 2 loses the duplicated 'alpha beta gamma delta' run but keeps
+    # its unique pad/tail words; docs 1/4/5 survive intact.
+    assert "1" in rows and "5" in rows and "3" not in rows
+    assert "alpha" not in rows["2"]
+    assert "pad1" in rows["2"] and "tail3" in rows["2"]
+
+
+def test_curate_corpus_lm_band_drops_rare_noise(spark):
+    from spiders_for_all_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "the cat sat on the mat near the door"),
+            ("2", "the cat sat on the mat near the door"),
+            ("3", "the dog ran up my very old oak tree"),
+        ],
+        "doc_id string, text string",
+    )
+    # docs 1/2 are mutually predictable; doc 3's transitions from shared
+    # words ('the dog' vs 'the cat') are corpus-rare -> higher bits
+    from spiders_for_all_spark.operators.cleaning import lm_perplexity
+
+    bits = {
+        r["doc_id"]: r["bits_per_token"]
+        for r in lm_perplexity(docs).collect()
+    }
+    assert bits["3"] > bits["1"]
+    out = curate_corpus(docs, max_lm_bits=(bits["1"] + bits["3"]) / 2)
+    assert "3" not in {r["doc_id"] for r in out.collect()}

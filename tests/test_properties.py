@@ -400,3 +400,86 @@ def test_export_split_shard_matches_model(spark, seed):
         for r in shard_assign(split_assign(df, weights), n_shards=3).collect()
     }
     assert got == model
+
+
+def _substring_model(docs, k):
+    """Pure-Python spec of cleaning.substring_spans/scrub_substring_dups:
+    the same normalize -> sliding k-grams -> min-(id,pos)-keeper ->
+    gaps-and-islands merge -> word removal, computed independently."""
+    import re
+    from collections import defaultdict
+
+    words_by = {}
+    groups = defaultdict(list)
+    for did, text in docs:
+        sid = str(did)
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        words_by[sid] = w
+        for p in range(max(len(w) - k + 1, 0)):
+            groups[" ".join(w[p : p + k])].append((sid, p))
+    dup = defaultdict(list)
+    for lst in groups.values():
+        if len(lst) > 1:
+            keeper = min(lst)  # (str id, pos) — matches Spark min(struct)
+            for sid, p in lst:
+                if (sid, p) != keeper:
+                    dup[sid].append(p)
+    spans = {}
+    for sid, ps in dup.items():
+        ps.sort()
+        out = []
+        for p in ps:
+            if out and p <= out[-1][1] + 1:
+                out[-1] = [out[-1][0], max(out[-1][1], p + k - 1), out[-1][2] + 1]
+            else:
+                out.append([p, p + k - 1, 1])
+        spans[sid] = [tuple(s) for s in out]
+    scrub = {}
+    for sid, w in words_by.items():
+        covered = set()
+        for a, b, _ in spans.get(sid, []):
+            covered.update(range(a, b + 1))
+        kept = [x for i, x in enumerate(w) if i not in covered]
+        scrub[sid] = (len(w), len(w) - len(kept), " ".join(kept))
+    return spans, scrub
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=18),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_substring_dedup_matches_model(spark, word_lists):
+    """Spark sliding-substring spans + scrub == the independent Python
+    model on adversarial word salads from a 3-word vocabulary (maximal
+    k-gram collision pressure, unaligned overlaps, whole-doc dups)."""
+    from collections import defaultdict
+
+    from spiders_for_all_spark.operators.cleaning import (
+        scrub_substring_dups,
+        substring_spans,
+    )
+
+    docs = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    model_spans, model_scrub = _substring_model(docs, k=3)
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got_spans = defaultdict(list)
+    for r in substring_spans(df, k=3).collect():
+        got_spans[r["doc_id"]].append(
+            (r["span_start"], r["span_end"], r["n_grams"])
+        )
+    assert {s: sorted(v) for s, v in got_spans.items()} == {
+        s: sorted(v) for s, v in model_spans.items() if v
+    }
+    got_scrub = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["text_kept"])
+        for r in scrub_substring_dups(df, k=3).collect()
+    }
+    assert got_scrub == model_scrub

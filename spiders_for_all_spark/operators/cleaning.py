@@ -28,6 +28,8 @@ freeze.  Design constraints at scale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -164,11 +166,32 @@ def gram_array(text: Column, k: int = 8) -> Column:
     return let(words(text), build)
 
 
+def _maybe_spill(df: DataFrame, scratch_dir: str | None, name: str) -> DataFrame:
+    """Materialize a narrow intermediate to scratch parquet and read it
+    back (the engine's round-spill pattern, engine.py).
+
+    The text operators below consume their exploded gram/bigram stream
+    2-3 times (count tables + the join-back); without a spill each
+    consumer re-shingles the full corpus text from the scan.  Locally
+    that is two cheap passes, but at 100 TB the spill inverts: writing
+    the (hash, id, pos) stream once — a few % of corpus bytes — is far
+    cheaper than re-reading and re-exploding 100 TB of text per
+    consumer.  Opt-in via ``scratch_dir`` because the caller owns the
+    scratch lifecycle (same contract as the engine's warehouse/_scratch).
+    """
+    if scratch_dir is None:
+        return df
+    path = os.path.join(scratch_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def duplicated_gram_positions(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(_id, pos) of every sliding ``k``-gram occurrence that duplicates
     an earlier one anywhere in the corpus (keeper = min (id, pos), the
@@ -178,6 +201,7 @@ def duplicated_gram_positions(
         F.col(id_col).cast("string").alias("_id"),
         F.posexplode(gram_array(F.col(text_col), k)).alias("pos", "gram"),
     ).select("_id", "pos", F.md5("gram").alias("h"))
+    occ = _maybe_spill(occ, scratch_dir, "substring-occ")
     stats = occ.groupBy("h").agg(
         F.count("*").alias("n"), F.min(F.struct("_id", "pos")).alias("k0")
     )
@@ -198,6 +222,7 @@ def substring_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Maximal duplicated-substring removal spans per document.
 
@@ -208,7 +233,7 @@ def substring_spans(
     removal manifest a Lee-et-al exact-substring pass feeds to the
     scrubber — kept separate so a pipeline can audit before destroying.
     """
-    dup = duplicated_gram_positions(df, text_col, id_col, k)
+    dup = duplicated_gram_positions(df, text_col, id_col, k, scratch_dir)
     w = Window.partitionBy("_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -237,6 +262,7 @@ def scrub_substring_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Apply the :func:`substring_spans` manifest: per document, drop every
     word inside a removal span and reassemble the survivors in order.
@@ -250,7 +276,7 @@ def scrub_substring_dups(
     """
     span_struct = "array<struct<span_start:int,span_end:int>>"
     per_doc = (
-        substring_spans(df, text_col, id_col, k)
+        substring_spans(df, text_col, id_col, k, scratch_dir)
         .groupBy(id_col)
         .agg(
             F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
@@ -326,7 +352,10 @@ def bigram_structs(text: Column) -> Column:
 
 
 def lm_perplexity(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Per-document bigram surprisal under the corpus's own bigram LM,
     Laplace-smoothed.
@@ -346,6 +375,7 @@ def lm_perplexity(
         F.col(id_col).cast("string").alias("_id"),
         F.explode(bigram_structs(F.col(text_col))).alias("b"),
     ).select("_id", "b.w1", "b.w2")
+    bg = _maybe_spill(bg, scratch_dir, "lm-bigrams")
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = bg.agg(F.countDistinct("w1").alias("v"))

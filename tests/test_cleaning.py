@@ -398,3 +398,35 @@ def test_curate_corpus_lm_band_drops_rare_noise(spark):
     assert bits["3"] > bits["1"]
     out = curate_corpus(docs, max_lm_bits=(bits["1"] + bits["3"]) / 2)
     assert "3" not in {r["doc_id"] for r in out.collect()}
+
+
+def test_substring_and_lm_scratch_spill_identical(spark, tmp_path):
+    """With scratch_dir set, the exploded gram/bigram stream materializes
+    once to parquet (so the corpus text is shingled exactly once at
+    scale) and results are bit-identical to the no-spill plans."""
+    import os
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "c d e f q r s t"),
+            (3, "a b a b a b a b"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sd = str(tmp_path / "scratch")
+
+    def key_spans(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert key_spans(CL.substring_spans(corpus, k=4, scratch_dir=sd)) == key_spans(
+        CL.substring_spans(corpus, k=4)
+    )
+    assert os.path.isdir(os.path.join(sd, "substring-occ"))
+    assert key_spans(CL.scrub_substring_dups(corpus, k=4, scratch_dir=sd)) == key_spans(
+        CL.scrub_substring_dups(corpus, k=4)
+    )
+    assert key_spans(CL.lm_perplexity(corpus, scratch_dir=sd)) == key_spans(
+        CL.lm_perplexity(corpus)
+    )
+    assert os.path.isdir(os.path.join(sd, "lm-bigrams"))

@@ -552,6 +552,71 @@ def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_schedule(f, base_s=3600, max_doublings=6)
 
 
+# Integer PageRank oracle: one unrolled CTE per iteration (the update is
+# all integer multiply/floor-divide, so summation order cannot perturb it
+# — see operators/linkrank.py).
+def _pr_iter_sql(t: int) -> str:
+    return f"""
+    r{t} AS (SELECT nodes.node AS node,
+                    CAST(150000 + coalesce(
+                        sum((c.r * 850000) // (1000000 * c.outdeg)), 0)
+                         AS BIGINT) AS r
+             FROM nodes LEFT JOIN (
+                  SELECT e.dst AS node, p.r AS r, deg.outdeg AS outdeg
+                  FROM e JOIN r{t - 1} p ON p.node = e.src
+                         JOIN deg ON deg.src = e.src) c
+               ON c.node = nodes.node
+             GROUP BY nodes.node)"""
+
+
+_PR_ITERS = 3
+
+
+@_register(
+    "crawl_pagerank_priority",
+    """
+    WITH docs AS (SELECT doc_id FROM documents),
+    n AS (SELECT count(*) AS n FROM docs),
+    e AS (SELECT CAST(doc_id AS VARCHAR) AS src,
+                 CAST((doc_id * 7 + 1) % n.n AS VARCHAR) AS dst
+          FROM docs, n
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR),
+                 CAST((doc_id * 13 + 2) % n.n AS VARCHAR) FROM docs, n
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR),
+                 CAST((doc_id * 31 + 3) % n.n AS VARCHAR) FROM docs, n),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    """
+    + ",".join(_pr_iter_sql(t) for t in range(1, _PR_ITERS + 1))
+    + f"""
+    SELECT node, r AS rank_ppm FROM r{_PR_ITERS}
+    """,
+)
+def crawl_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based frontier prioritization: deterministic integer PageRank
+    (Page et al. 1999 / OPIC) over a derived doc link graph (each doc
+    links to 3 hash-derived others).  Ranks are ppm integers and every
+    update floors before summing, so an iterative graph algorithm sits
+    behind an exact DuckDB oracle (operators/linkrank.py).  The reference
+    walks fixed API pagination with no link analysis."""
+    from spiders_for_all_spark.operators.linkrank import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    legs = [
+        docs.select(
+            F.col("doc_id").cast("string").alias("src"),
+            ((F.col("doc_id") * a + b) % n).cast("string").alias("dst"),
+        )
+        for a, b in ((7, 1), (13, 2), (31, 3))
+    ]
+    e = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    return pagerank(e, n_iter=_PR_ITERS)
+
+
 # ===========================================================================
 # Training-data pipeline queries (dedup / similarity / text / multimodal).
 # Shared SQL fragments keep the oracle byte-equivalent to the Catalyst plans.

@@ -163,6 +163,97 @@ def streaming_host_budget(
     )
 
 
+def streaming_recrawl_schedule(
+    fetches: DataFrame,
+    base_s: int = 3600,
+    max_doublings: int = 6,
+    timeout: str = "NoTimeout",
+    timeout_duration_ms: int = 86_400_000,
+) -> DataFrame:
+    """Custom stateful operator: the streaming twin of
+    operators/recrawl.recrawl_schedule — per-URL change detection +
+    integer exponential backoff, maintained incrementally so a live crawl
+    updates next-fetch times per trigger instead of recomputing the whole
+    fetch history.
+
+    State per URL is five scalars (last fingerprint, unchanged streak,
+    fetch/change counters, last fetch micros) in Spark's state store
+    (checkpointable, rescalable).  Per trigger it emits one schedule row
+    per URL seen in that batch — same columns, same integer-space values
+    as the batch operator over the same prefix of history (verified by
+    test_streaming_clean.py).  Batch rows are processed in (ts, fetch_id)
+    order inside the group, vectorized with numpy (no per-row loop).
+
+    With ``timeout="ProcessingTimeTimeout"`` an idle URL's state is
+    evicted after ``timeout_duration_ms`` — at 10^10-URL scale the state
+    store holds only the actively-recrawled working set; an evicted URL
+    re-enters as a fresh first fetch (counts restart, which only shortens
+    its backoff — safe).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "url_id long, n_fetches long, n_changes long, "
+        "unchanged_streak long, interval_s long, next_fetch_us long"
+    )
+    arm_timeout = timeout == "ProcessingTimeTimeout"
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            last_fp, streak, n_f, n_c, last_us = state.get
+        else:
+            last_fp, streak, n_f, n_c, last_us = None, 0, 0, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "fetch_id"], kind="mergesort")
+        fps = rows["fingerprint"].to_numpy(dtype=object)
+        prev = np.empty_like(fps)
+        prev[0] = last_fp
+        prev[1:] = fps[:-1]
+        changed = np.array(
+            [p is None or f != p for f, p in zip(fps, prev)], dtype=bool
+        )
+        n = len(fps)
+        n_f += n
+        n_c += int(changed.sum())
+        if changed.any():
+            streak = n - int(np.flatnonzero(changed)[-1]) - 1
+        else:
+            streak += n
+        last_fp = fps[-1]
+        last_us = int(rows["ts"].iloc[-1].value // 1_000)
+        state.update((last_fp, streak, n_f, n_c, last_us))
+        if arm_timeout:
+            state.setTimeoutDuration(timeout_duration_ms)
+        interval_s = base_s << min(streak, max_doublings)
+        yield pd.DataFrame(
+            {
+                "url_id": [key[0]],
+                "n_fetches": [n_f],
+                "n_changes": [n_c],
+                "unchanged_streak": [streak],
+                "interval_s": [interval_s],
+                "next_fetch_us": [last_us + interval_s * 1_000_000],
+            }
+        )
+
+    return fetches.groupBy("url_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=(
+            "last_fp string, streak long, n_fetches long, "
+            "n_changes long, last_us long"
+        ),
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
 def streaming_document_quality(docs: DataFrame) -> DataFrame:
     """Streaming corpus-clean projection: quality score, language guess,
     repetition signals, PII scrub — all stateless Catalyst expressions,

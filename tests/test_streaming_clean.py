@@ -203,3 +203,75 @@ def test_host_budget_timeout_armed_runs(spark, tmp_path):
     assert by_host["a.com"]["n_total"] == 6
     assert by_host["a.com"]["admitted"] == 4
     assert by_host["b.com"]["n_total"] == 6
+
+
+def test_streaming_recrawl_schedule_matches_batch_twin(spark, tmp_path):
+    """The stateful streaming recrawl scheduler, fed the same fetch
+    history across micro-batches, converges to exactly the batch
+    operator's schedule (same integer-space values)."""
+    from datetime import datetime
+
+    from spiders_for_all_spark.operators.recrawl import recrawl_schedule
+    from spiders_for_all_spark.streaming.rounds import (
+        streaming_recrawl_schedule,
+    )
+
+    rows = [
+        # url 1: change then 3 stable; url 2: changes every fetch;
+        # url 3: appears only in the last batch
+        (1, datetime(2024, 1, 1, 0, 0, 0), 0, "a"),
+        (2, datetime(2024, 1, 1, 0, 0, 0), 1, "x"),
+        (1, datetime(2024, 1, 1, 0, 1, 0), 2, "a"),
+        (2, datetime(2024, 1, 1, 0, 1, 0), 3, "y"),
+        (1, datetime(2024, 1, 1, 0, 2, 0), 4, "a"),
+        (2, datetime(2024, 1, 1, 0, 2, 0), 5, "z"),
+        (1, datetime(2024, 1, 1, 0, 3, 0), 6, "a"),
+        (3, datetime(2024, 1, 1, 0, 3, 0), 7, "q"),
+    ]
+    schema = "url_id bigint, ts timestamp, fetch_id bigint, fingerprint string"
+    full = spark.createDataFrame(rows, schema)
+    want = {
+        r["url_id"]: (
+            r["n_fetches"],
+            r["n_changes"],
+            r["unchanged_streak"],
+            r["interval_s"],
+            r["next_fetch_us"],
+        )
+        for r in recrawl_schedule(full, base_s=60).collect()
+    }
+
+    path = str(tmp_path / "fetch_stream")
+    for chunk in (rows[:3], rows[3:6], rows[6:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    stream = spark.readStream.schema(full.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(path)
+    q = (
+        streaming_recrawl_schedule(stream, base_s=60)
+        .writeStream.format("memory")
+        .queryName("recrawl_sched")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql("SELECT * FROM recrawl_sched").collect()
+    # n_fetches grows monotonically per url -> max row is the final state
+    got = {}
+    for r in emitted:
+        cur = got.get(r["url_id"])
+        if cur is None or r["n_fetches"] > cur[0]:
+            got[r["url_id"]] = (
+                r["n_fetches"],
+                r["n_changes"],
+                r["unchanged_streak"],
+                r["interval_s"],
+                r["next_fetch_us"],
+            )
+    assert got == want

@@ -298,6 +298,8 @@ def main() -> None:
         "clean_passage_dedup",
         "dedup_substring_spans",
         "crawl_recrawl_schedule",
+        "text_lm_perplexity",
+        "crawl_pagerank_priority",
         "export_shard_manifest",
         "windowed_event_counts",
         "sessionize_events",

@@ -256,3 +256,33 @@ def test_curate_split_and_export_shards(spark, capsys, tmp_path):
             ",".join(str(r["doc_id"]) for r in rows).encode()
         ).hexdigest()
         assert fp == man[shard]["order_fp"]
+
+
+def test_curate_substring_and_lm_flags(spark, capsys, tmp_path):
+    """curate --substring-dedup / --max-lm-bits pass through to the new
+    cleaning stages.  The sf corpus's duplicates are whole-doc copies
+    that the always-on near-dedup removes BEFORE the substring stage, so
+    the frozen text stays intact here — the observable contract is (a)
+    post-condition: the frozen corpus has zero remaining duplicated-gram
+    removal spans, (b) a tight LM band prunes docs a loose one keeps."""
+    from spiders_for_all_spark.operators.cleaning import substring_spans
+
+    out = str(tmp_path / "frozen_sub")
+    assert main([
+        "curate", "--sf-dir", SF_DIR,
+        "--substring-dedup", "8", "--max-lm-bits", "50",
+        "--out", out,
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    curated = spark.read.parquet(out)
+    assert 0 < stats["out_docs"] <= stats["in_docs"]
+    assert substring_spans(curated, k=8).count() == 0
+
+    out2 = str(tmp_path / "frozen_tight")
+    assert main([
+        "curate", "--sf-dir", SF_DIR,
+        "--substring-dedup", "8", "--max-lm-bits", "2.0",
+        "--out", out2,
+    ]) == 0
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["out_docs"] < stats["out_docs"]

@@ -19,10 +19,12 @@ def round_metrics(fetch_log: DataFrame) -> DataFrame:
         F.sum(ok.cast("int")).alias("ok"),
         F.sum((~ok).cast("int")).alias("failed"),
         F.sum(F.col("dead_letter").cast("int")).alias("dead_lettered"),
-        # Integer micro-units: round(avg, 3) as a double hashes differently
-        # between Spark (BigDecimal HALF_UP) and DuckDB in the last ulp;
-        # integers hash identically everywhere (CORRECTNESS_r03 a1 fix).
-        F.round(F.avg("latency_ms") * 1000)
+        # Pure integer micro-units end-to-end: even round(avg(...)) touches a
+        # float whose half-way behavior is engine/version-sensitive
+        # (CORRECTNESS_r04: hash_match=false only in the driver env).  All
+        # latencies are non-negative, so truncating `div` == floor == DuckDB
+        # `//` — no float ever touches the column.
+        F.expr("(sum(latency_ms) * 1000L) div count(*)")
         .cast("bigint")
         .alias("avg_latency_us"),
         F.countDistinct("partition_id").alias("n_partitions"),
@@ -35,7 +37,8 @@ def partition_metrics(fetch_log: DataFrame) -> DataFrame:
     return fetch_log.groupBy("round", "partition_id").agg(
         F.count("*").alias("fetched"),
         F.sum(F.col("error").isNull().cast("int")).alias("ok"),
-        F.round(F.avg("latency_ms") * 1000)
+        # Integer division, same rationale as round_metrics.
+        F.expr("(sum(latency_ms) * 1000L) div count(*)")
         .cast("bigint")
         .alias("avg_latency_us"),
     )

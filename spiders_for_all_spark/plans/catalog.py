@@ -1207,7 +1207,7 @@ def _fetchlog(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN error IS NULL THEN 1 ELSE 0 END) AS ok,
            sum(CASE WHEN error IS NULL THEN 0 ELSE 1 END) AS failed,
            sum(CASE WHEN dead_letter THEN 1 ELSE 0 END) AS dead_lettered,
-           CAST(round(avg(latency_ms) * 1000) AS BIGINT) AS avg_latency_us,
+           CAST((sum(latency_ms) * 1000) // count(*) AS BIGINT) AS avg_latency_us,
            count(DISTINCT partition_id) AS n_partitions
     FROM log GROUP BY round
     """,
@@ -1226,7 +1226,7 @@ def a1_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH log AS ({_FETCHLOG_SQL})
     SELECT round, partition_id, count(*) AS fetched,
            sum(CASE WHEN error IS NULL THEN 1 ELSE 0 END) AS ok,
-           CAST(round(avg(latency_ms) * 1000) AS BIGINT) AS avg_latency_us
+           CAST((sum(latency_ms) * 1000) // count(*) AS BIGINT) AS avg_latency_us
     FROM log GROUP BY round, partition_id
     """,
 )
@@ -2657,3 +2657,80 @@ def export_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("text")
     return vocab_topk(d, k=50)
+
+
+# ===========================================================================
+# Driver-gate registration order.
+#
+# The driver's correctness gate verifies exactly the FIRST 50 registered
+# keys (CORRECTNESS_r04 keys == registration positions 0-49), so insertion
+# order here is load-bearing.  Definitions above stay grouped by operator
+# family; this explicit list rotates every never-driver-verified round-4
+# family (cleaning / substring / LM / packing / span / export /
+# mixture_resample / ann_lsh_materialized) INSIDE the gate window and moves
+# multiply-driver-verified scalar-function trivia (f1/f2/f5/f6/f8/f10, u2/u3,
+# s6-s8, p1/p5/p6, windowing demos) past it.  Every key must appear in
+# QUERIES; anything not listed keeps its original relative order after the
+# gate block.
+
+_GATE_FIRST = [
+    # Crawl-native core (kept in-gate: the north_rule surface).
+    "o1_priority_queue_rank",
+    "o2_host_budget_topk",
+    "j1_seen_antijoin",
+    "k2_merge_upsert",
+    "k2_merge_on_read",
+    "crawl_recrawl_schedule",
+    "crawl_pagerank_priority",
+    "a1_round_metrics",
+    "a1_partition_metrics",
+    "a1_error_breakdown",
+    "a5_politeness_pacing",
+    "robots_txt_parse",
+    "crawl_e2e_spans",
+    "flagship_enriched_corpus",
+    # Analytics spine.
+    "tpch_q1",
+    "tpch_q3ish",
+    # Training-data families (kept: recently fixed / scale-critical).
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
+    "dedup_minhash_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "curation_decontaminate",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_langid",
+    "multimodal_meta",
+    # Round-4 families, never driver-verified before round 5 (VERDICT #2).
+    "ann_lsh_topk_materialized",
+    "clean_passage_dedup",
+    "dedup_substring_spans",
+    "clean_substring_scrub",
+    "text_lm_perplexity",
+    "clean_pii_scrub",
+    "clean_repetition",
+    "clean_blocklist_filter",
+    "clean_corpus_stats",
+    "span_strip_media",
+    "span_media_manifest",
+    "span_stats",
+    "pack_sequences",
+    "pack_manifest",
+    "curation_mixture_resample",
+    "export_split_counts",
+    "export_shard_manifest",
+    "export_vocab_topk",
+]
+
+_missing = [k for k in _GATE_FIRST if k not in QUERIES]
+assert not _missing, f"gate order references unknown queries: {_missing}"
+_rest = [k for k in QUERIES if k not in set(_GATE_FIRST)]
+_ORDER = _GATE_FIRST + _rest
+QUERIES = {k: QUERIES[k] for k in _ORDER}
+ORACLES = {k: ORACLES[k] for k in _ORDER if k in ORACLES}

@@ -333,6 +333,41 @@ def _corpus_docs(spark: SparkSession, ns: argparse.Namespace) -> DataFrame:
     )
 
 
+def _parse_split_spec(spec: str) -> list[tuple[str, float]]:
+    """Validate a ``train:0.9,val:0.05,...`` --split spec.
+
+    A malformed part or fractions summing above 1.0 exit with a clear
+    message instead of an IndexError traceback / a silently-starved last
+    split (split_assign gives the LAST split the rounding remainder, so
+    an over-committed prefix would leave it empty) — ADVICE r4.
+    """
+    weights: list[tuple[str, float]] = []
+    for part in spec.split(","):
+        name, sep, frac_s = part.partition(":")
+        if not sep or not name.strip() or not frac_s.strip():
+            raise SystemExit(
+                f"--split: malformed part {part!r} (expected name:fraction)"
+            )
+        try:
+            frac = float(frac_s)
+        except ValueError:
+            raise SystemExit(
+                f"--split: fraction {frac_s!r} in part {part!r} is not a number"
+            ) from None
+        if not 0.0 < frac <= 1.0:
+            raise SystemExit(
+                f"--split: fraction {frac} in part {part!r} must be in (0, 1]"
+            )
+        weights.append((name.strip(), frac))
+    total = sum(f for _, f in weights)
+    if total > 1.0 + 1e-9:
+        raise SystemExit(
+            f"--split: fractions sum to {total:g} > 1.0 — the last split "
+            "would be starved"
+        )
+    return weights
+
+
 def cmd_curate(ns: argparse.Namespace) -> int:
     """`curate` — the corpus-freeze pipeline over crawled documents:
     near-dedup -> optional eval-set decontamination -> quality floor ->
@@ -388,11 +423,9 @@ def cmd_curate(ns: argparse.Namespace) -> int:
     if ns.split:
         from spiders_for_all_spark.operators.export import split_assign
 
-        weights = [
-            (part.split(":")[0], float(part.split(":")[1]))
-            for part in ns.split.split(",")
-        ]
-        curated = split_assign(curated, weights, seed=ns.seed)
+        curated = split_assign(
+            curated, _parse_split_spec(ns.split), seed=ns.seed
+        )
     if ns.out:
         curated.write.mode("overwrite").parquet(ns.out)
         stats = {

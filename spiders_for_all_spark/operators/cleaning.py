@@ -28,6 +28,7 @@ freeze.  Design constraints at scale:
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import Column, DataFrame, Window
@@ -166,6 +167,9 @@ def gram_array(text: Column, k: int = 8) -> Column:
     return let(words(text), build)
 
 
+_SPILL_SEQ = itertools.count()
+
+
 def _maybe_spill(df: DataFrame, scratch_dir: str | None, name: str) -> DataFrame:
     """Materialize a narrow intermediate to scratch parquet and read it
     back (the engine's round-spill pattern, engine.py).
@@ -178,10 +182,15 @@ def _maybe_spill(df: DataFrame, scratch_dir: str | None, name: str) -> DataFrame
     cheaper than re-reading and re-exploding 100 TB of text per
     consumer.  Opt-in via ``scratch_dir`` because the caller owns the
     scratch lifecycle (same contract as the engine's warehouse/_scratch).
+
+    Each invocation spills to a UNIQUE subdir (``name`` + a process-wide
+    sequence number): two ops of the same kind sharing one scratch_dir —
+    e.g. substring passes with different ``k`` — must not clobber each
+    other's spill before the lazy read-back executes (ADVICE r4).
     """
     if scratch_dir is None:
         return df
-    path = os.path.join(scratch_dir, name)
+    path = os.path.join(scratch_dir, f"{name}-{next(_SPILL_SEQ):04d}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
@@ -201,7 +210,7 @@ def duplicated_gram_positions(
         F.col(id_col).cast("string").alias("_id"),
         F.posexplode(gram_array(F.col(text_col), k)).alias("pos", "gram"),
     ).select("_id", "pos", F.md5("gram").alias("h"))
-    occ = _maybe_spill(occ, scratch_dir, "substring-occ")
+    occ = _maybe_spill(occ, scratch_dir, f"substring-occ-k{k}")
     stats = occ.groupBy("h").agg(
         F.count("*").alias("n"), F.min(F.struct("_id", "pos")).alias("k0")
     )
@@ -470,21 +479,38 @@ def dup_word_fraction(text: Column) -> Column:
 def top_bigram_fraction(text: Column) -> Column:
     """Fraction of all word bigrams taken by the single most frequent one.
 
-    Computed entirely expression-side (no explode, no shuffle): for each
-    distinct bigram, count its occurrences with a filtered array scan.
-    O(distinct x total) per row — documents are bounded, corpora are not,
-    so per-row arithmetic beats a per-corpus shuffle at any scale.
-    The bigram array is let-bound (text.let): referenced inside the
-    per-distinct-bigram lambda, an unbound ``shingles(text, 2)`` would
-    re-shingle the whole document once per distinct bigram.
+    Computed entirely expression-side (no explode, no shuffle) in
+    O(L log L) per row: ``array_sort`` the bigram array, then ONE
+    ``aggregate`` pass tracking the longest equal-adjacent run — the run
+    length of the most frequent bigram.  The earlier per-distinct-bigram
+    filtered-array-scan was O(distinct × total) per document — quadratic
+    in doc length, ~2.5·10⁹ comparisons for one 50k-word page, and a web
+    crawl is exactly where unbounded documents show up (VERDICT r4 #4).
+    The bigram array is let-bound: referenced twice (aggregate + size), an
+    unbound ``shingles(text, 2)`` would re-shingle the document per use.
     """
 
     def frac(bg: Column) -> Column:
-        top = F.array_max(
-            F.transform(
-                F.array_distinct(bg),
-                lambda d: F.size(F.filter(bg, lambda x: x == d)),
-            )
+        top = F.aggregate(
+            F.array_sort(bg),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1)
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
         )
         return F.when(F.size(bg) <= 0, F.lit(0.0)).otherwise(
             F.round(top / F.size(bg).cast("double"), 6)
@@ -555,22 +581,32 @@ def blocklist_filter(
     semi/anti join back onto the corpus.  With ``broadcast_blocked`` on
     (default) the corpus itself is never shuffled; turn it off if the
     blocklist matches an unbounded host set and let AQE pick the strategy.
+
+    NULL-host rows can never match a blocklist entry: they are KEPT by
+    the default drop-blocked pass and DROPPED by ``keep_blocked=True``
+    (standard equi-join null semantics, asserted in tests).  Internal
+    join columns are ``__bl_``-prefixed so a pre-existing frontier column
+    can't collide (ADVICE r4).
     """
     host = F.col(host_col)
-    bl = F.broadcast(blocklist.select(F.col(domain_col).alias("_suf")))
+    bl = F.broadcast(blocklist.select(F.col(domain_col).alias("__bl_suf")))
     blocked_hosts = (
-        frontier.select(host.alias("_host"))
+        frontier.select(host.alias("__bl_host"))
+        .filter(F.col("__bl_host").isNotNull())
         .distinct()
-        .select("_host", F.explode(host_suffixes(F.col("_host"))).alias("_suf"))
-        .join(bl, "_suf", "left_semi")
-        .select("_host")
+        .select(
+            "__bl_host",
+            F.explode(host_suffixes(F.col("__bl_host"))).alias("__bl_suf"),
+        )
+        .join(bl, "__bl_suf", "left_semi")
+        .select("__bl_host")
         .distinct()
     )
     if broadcast_blocked:
         blocked_hosts = F.broadcast(blocked_hosts)
     how = "left_semi" if keep_blocked else "left_anti"
     return frontier.join(
-        blocked_hosts, on=host == F.col("_host"), how=how
+        blocked_hosts, on=host == F.col("__bl_host"), how=how
     )
 
 

@@ -95,10 +95,33 @@ def minhash_candidate_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    star: bool = True,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs (a < b) via banded MinHash LSH."""
+    """Distinct candidate near-dup pairs (a < b) via banded MinHash LSH.
+
+    ``star=True`` (default, the scale path): every bucket member is paired
+    with the bucket's MIN id — the bucket becomes a star centered on its
+    representative, O(n) pairs per bucket.  The classical all-pairs a<b
+    self-join (``star=False``) is O(n²/2) per bucket: one boilerplate
+    passage duplicated 1M times across a 100 TB crawl puts 10⁶ ids in one
+    bucket and would emit 5·10¹¹ pairs; the star emits 10⁶-1.  Connected
+    components are identical (a star spans exactly the same members), so
+    cluster dedup downstream is unchanged; only pair-level scoring sees
+    member↔representative edges instead of member↔member.  The bucket-min
+    election is a partial-aggregatable groupBy (map-side combined), and the
+    join back to the band rows co-partitions on the same (band, bucket)
+    keys — AQE reuses the exchange.
+    """
     sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
     bands = minhash_bands(sig, id_col, n_hashes, band_size)
+    if star:
+        reps = bands.groupBy("band", "bucket").agg(F.min(id_col).alias("a"))
+        return (
+            bands.join(reps, on=["band", "bucket"])
+            .filter(F.col(id_col) > F.col("a"))
+            .select("a", F.col(id_col).alias("b"))
+            .distinct()
+        )
     left = bands.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("a")
     )
@@ -456,28 +479,44 @@ def minhash_index_probe(
     very large batches set ``broadcast_keys=False`` (the key set no longer
     fits a broadcast) and the prune becomes a shuffle semi-join — still
     O(batch + hits), not O(corpus) pair work.
+
+    Pair emission is star-reduced like :func:`minhash_candidate_pairs`:
+    each batch member pairs with the bucket's running MIN over
+    (corpus hits ∪ batch) — O(batch) edges per bucket per increment, never
+    O(batch × bucket).  When the batch introduces a NEW bucket minimum, one
+    extra *repair edge* (new_min, old_min) re-links the bucket's existing
+    star to the new center, so the union of all increments' pairs is
+    connected-component-equal to the one-shot star over the full corpus
+    (property-tested in tests/test_dedup_similarity.py).
     """
-    n = new_bands.select("band", "bucket", F.col(id_col).alias("nid"))
+    n = new_bands.select(
+        "band", "bucket", F.col(id_col).alias("id"),
+        F.lit(True).alias("is_new"),
+    )
     if index is None:
-        o = new_bands.select("band", "bucket", F.col(id_col).alias("oid"))
+        members = n
     else:
         keys = new_bands.select("band", "bucket").distinct()
         if broadcast_keys:
             keys = F.broadcast(keys)
         hits = index.join(keys, on=["band", "bucket"], how="leftsemi")
-        o = (
-            hits.unionByName(new_bands)
-            .select("band", "bucket", F.col(id_col).alias("oid"))
-        )
-    return (
-        n.join(o, on=["band", "bucket"])
-        .filter(F.col("nid") != F.col("oid"))
-        .select(
-            F.least("nid", "oid").alias("a"),
-            F.greatest("nid", "oid").alias("b"),
-        )
-        .distinct()
+        members = hits.select(
+            "band", "bucket", F.col(id_col).alias("id"),
+            F.lit(False).alias("is_new"),
+        ).unionByName(n)
+    mins = members.groupBy("band", "bucket").agg(
+        F.min("id").alias("m_all"),
+        F.min(F.when(~F.col("is_new"), F.col("id"))).alias("m_old"),
     )
+    star = (
+        n.join(mins, on=["band", "bucket"])
+        .filter(F.col("id") != F.col("m_all"))
+        .select(F.col("m_all").alias("a"), F.col("id").alias("b"))
+    )
+    repair = mins.filter(
+        F.col("m_old").isNotNull() & (F.col("m_old") != F.col("m_all"))
+    ).select(F.col("m_all").alias("a"), F.col("m_old").alias("b"))
+    return star.unionByName(repair).distinct()
 
 
 def incremental_dedup_round(

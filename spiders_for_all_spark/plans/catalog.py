@@ -643,10 +643,12 @@ _MINHASH_SQL = f"""
   bands AS (
     {' UNION ALL '.join(f"SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bucket FROM sig" for b in range(4))}
   ),
+  mins AS (SELECT band, bucket, min(doc_id) AS a
+           FROM bands GROUP BY band, bucket),
   pairs AS (
-    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
-    WHERE l.doc_id < r.doc_id)
+    SELECT DISTINCT m.a, b.doc_id AS b
+    FROM bands b JOIN mins m ON b.band = m.band AND b.bucket = m.bucket
+    WHERE b.doc_id > m.a)
 """
 
 
@@ -672,14 +674,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TD.minhash_candidate_pairs(_docs(spark, sf_dir))
 
 
-@_register("dedup_minhash_incremental", _MINHASH_SQL + "SELECT a, b FROM pairs")
+@_register(
+    "dedup_minhash_incremental",
+    _MINHASH_SQL
+    + """,
+    even_b AS (SELECT * FROM bands WHERE CAST(doc_id AS BIGINT) % 2 = 0),
+    odd_b  AS (SELECT * FROM bands WHERE CAST(doc_id AS BIGINT) % 2 = 1),
+    m1 AS (SELECT band, bucket, min(doc_id) AS m
+           FROM even_b GROUP BY band, bucket),
+    p1 AS (SELECT m1.m AS a, e.doc_id AS b
+           FROM even_b e
+           JOIN m1 ON e.band = m1.band AND e.bucket = m1.bucket
+           WHERE e.doc_id <> m1.m),
+    mem2 AS (SELECT e.* FROM even_b e
+             JOIN (SELECT DISTINCT band, bucket FROM odd_b) k
+               ON e.band = k.band AND e.bucket = k.bucket
+             UNION ALL SELECT * FROM odd_b),
+    m2 AS (SELECT band, bucket, min(doc_id) AS m_all,
+                  min(CASE WHEN CAST(doc_id AS BIGINT) % 2 = 0
+                           THEN doc_id END) AS m_old
+           FROM mem2 GROUP BY band, bucket),
+    p2 AS (SELECT m2.m_all AS a, o.doc_id AS b
+           FROM odd_b o
+           JOIN m2 ON o.band = m2.band AND o.bucket = m2.bucket
+           WHERE o.doc_id <> m2.m_all
+           UNION ALL
+           SELECT m_all AS a, m_old AS b FROM m2
+           WHERE m_old IS NOT NULL AND m_old <> m_all)
+    SELECT DISTINCT a, b
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) u
+    """,
+)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental LSH-index dedup: the corpus arrives in two batches;
-    batch 1 probes an empty index (pairs within batch 1), batch 2 probes
-    the index holding batch 1's band rows (every pair touching batch 2,
-    corpus side broadcast-pruned — never shuffled).  The union must equal
-    the one-shot full-corpus candidate-pair set, so the oracle is the SAME
-    SQL as ``dedup_minhash_lsh`` — the equivalence IS the check."""
+    batch 1 probes an empty index (star pairs within batch 1), batch 2
+    probes the index holding batch 1's band rows (corpus side
+    broadcast-pruned — never shuffled).  Pair emission is star-reduced —
+    each batch member links to the bucket's running min, plus a repair
+    edge (new_min, old_min) when the batch lowers the bucket minimum — so
+    each increment costs O(batch) edges per bucket and the union of
+    increments is connected-component-equal to the one-shot LSH.  The
+    oracle simulates the same two-phase construction in SQL; component
+    equality with the one-shot star is property-tested in
+    tests/test_dedup_similarity.py."""
     docs = _docs(spark, sf_dir)
     even = F.col("doc_id").cast("bigint") % 2 == 0
     bands1 = TD.minhash_index_rows(docs.filter(even))

@@ -242,24 +242,49 @@ class SyntheticFetcher:
         return scheduled.mapInPandas(run, schema=out_schema)
 
 
+def _http_request_kwargs(
+    ua: str, timeout_s: float, proxies: dict | None
+) -> dict:
+    """Per-request keyword merge mirroring the reference client
+    (core/client.py:86,100-117,142-177): User-Agent header always set,
+    proxies attached per request when configured.  Pure function so the
+    merge is unit-testable without a network or a real Session."""
+    kw: dict = {"timeout": timeout_s, "headers": {"User-Agent": ua}}
+    if proxies:
+        kw["proxies"] = dict(proxies)
+    return kw
+
+
+def _install_cookies(session, cookies: dict | None) -> None:
+    """Install configured cookies on the per-worker session — sent with
+    every request, matching the reference's cookie merge
+    (core/client.py:86,142)."""
+    if cookies:
+        session.cookies.update(cookies)
+
+
 class HttpFetcher:
     """Real-HTTP fetcher (NOT exercised in the sandbox — no network).
 
     Mirrors the reference client semantics: pooled Session per worker
     (core/client.py:83), rotating User-Agent (core/client.py:100-112),
-    optional proxies (conf/settings.py:63).  Import-gated so the package
-    never hard-depends on ``requests``.
+    per-request proxies and session cookies (core/client.py:86,142-177;
+    conf/settings.py:63).  Import-gated so the package never hard-depends
+    on ``requests``.
     """
 
     def __init__(self, timeout_s: float = 10.0, user_agents: list[str] | None = None,
                  partitions: int | None = None, media_sink_dir: str | None = None,
-                 colocate_hosts: bool = True):
+                 colocate_hosts: bool = True, proxies: dict | None = None,
+                 cookies: dict | None = None):
         self.timeout_s = timeout_s
         self.user_agents = user_agents or ["spiders-for-all-spark/0.1"]
         self.partitions = partitions
         self.colocate_hosts = colocate_hosts
         # None = let the engine default this to the warehouse media sink
         self.media_sink_dir = media_sink_dir
+        self.proxies = dict(proxies) if proxies else None
+        self.cookies = dict(cookies) if cookies else None
 
     def fetch(self, scheduled: DataFrame) -> DataFrame:
         try:
@@ -273,6 +298,7 @@ class HttpFetcher:
         out_cols = [f.name for f in out_schema.fields]
         timeout, uas = self.timeout_s, self.user_agents
         sink_dir = self.media_sink_dir
+        proxies, cookies = self.proxies, self.cookies
 
         chunk_size = 10 * 1024 * 1024  # reference const.py:1 CHUNK_SIZE
         has_backups = "backup_urls" in scheduled.columns
@@ -283,12 +309,19 @@ class HttpFetcher:
             import requests
 
             session = requests.Session()
+            _install_cookies(session, cookies)
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx else -1
 
-            def read_candidate(u: str, _attempt: int):
+            def read_candidate(u: str, attempt: int):
                 try:
-                    resp = session.get(u, timeout=timeout, stream=True)
+                    resp = session.get(
+                        u,
+                        stream=True,
+                        **_http_request_kwargs(
+                            uas[attempt % len(uas)], timeout, proxies
+                        ),
+                    )
                     payload = b"".join(resp.iter_content(chunk_size=chunk_size))
                     return resp.status_code, payload, None
                 except requests.RequestException as exc:
@@ -329,8 +362,9 @@ class HttpFetcher:
                     try:
                         resp = session.get(
                             url,
-                            timeout=timeout,
-                            headers={"User-Agent": uas[i % len(uas)]},
+                            **_http_request_kwargs(
+                                uas[i % len(uas)], timeout, proxies
+                            ),
                         )
                         statuses.append(resp.status_code)
                         bodies.append(resp.text)

@@ -211,12 +211,23 @@ def streaming_recrawl_schedule(
             last_fp, streak, n_f, n_c, last_us = None, 0, 0, 0, 0
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "fetch_id"], kind="mergesort")
-        fps = rows["fingerprint"].to_numpy(dtype=object)
+        # Normalize missing fingerprints to None (pandas may surface
+        # parquet NULLs as NaN, which would break `is None` checks).
+        fp_s = rows["fingerprint"].astype(object)
+        fps = fp_s.where(fp_s.notna(), None).to_numpy(dtype=object)
         prev = np.empty_like(fps)
         prev[0] = last_fp
         prev[1:] = fps[:-1]
+        # Exactly the batch operator's null semantics (recrawl.py:51-53):
+        # prev NULL => change; Catalyst `fp != lag(fp)` yields NULL (no
+        # change) when the CURRENT fingerprint is NULL, so a null fp after
+        # a non-null one must NOT count as a change here either.
         changed = np.array(
-            [p is None or f != p for f, p in zip(fps, prev)], dtype=bool
+            [
+                p is None or (f is not None and f != p)
+                for f, p in zip(fps, prev)
+            ],
+            dtype=bool,
         )
         n = len(fps)
         n_f += n

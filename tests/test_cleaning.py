@@ -117,6 +117,28 @@ def test_blocklist_filter_suffix_semantics(spark):
     assert blocked == {"u1", "u2", "u3"}
 
 
+def test_blocklist_filter_null_host_and_no_collision(spark):
+    """NULL hosts can never match a blocklist entry: kept by the default
+    drop-blocked pass, dropped by keep_blocked=True.  A frontier column
+    named like the old internal aliases (_host) must not collide."""
+    frontier = spark.createDataFrame(
+        [
+            ("u1", "ads.net", "x"),
+            ("u2", None, "y"),
+            ("u3", "fine.org", "z"),
+        ],
+        "url string, host string, _host string",
+    )
+    bl = spark.createDataFrame([("ads.net",)], ["domain"])
+    kept = {r["url"] for r in CL.blocklist_filter(frontier, bl).collect()}
+    assert kept == {"u2", "u3"}
+    blocked = {
+        r["url"]
+        for r in CL.blocklist_filter(frontier, bl, keep_blocked=True).collect()
+    }
+    assert blocked == {"u1"}
+
+
 def test_blocklist_filter_corpus_not_shuffled(spark):
     """Plan shape: with the default broadcast_blocked, the corpus leg joins
     via BroadcastHashJoin — no exchange on the frontier side."""
@@ -419,14 +441,28 @@ def test_substring_and_lm_scratch_spill_identical(spark, tmp_path):
     def key_spans(df):
         return sorted(tuple(r) for r in df.collect())
 
+    def spill_dirs(prefix):
+        return [d for d in os.listdir(sd) if d.startswith(prefix)]
+
     assert key_spans(CL.substring_spans(corpus, k=4, scratch_dir=sd)) == key_spans(
         CL.substring_spans(corpus, k=4)
     )
-    assert os.path.isdir(os.path.join(sd, "substring-occ"))
+    assert len(spill_dirs("substring-occ-k4-")) == 1
     assert key_spans(CL.scrub_substring_dups(corpus, k=4, scratch_dir=sd)) == key_spans(
         CL.scrub_substring_dups(corpus, k=4)
     )
     assert key_spans(CL.lm_perplexity(corpus, scratch_dir=sd)) == key_spans(
         CL.lm_perplexity(corpus)
     )
-    assert os.path.isdir(os.path.join(sd, "lm-bigrams"))
+    assert len(spill_dirs("lm-bigrams-")) == 1
+    # two ops of the same kind sharing one scratch_dir spill to DISTINCT
+    # subdirs — a second k=4 pass must not clobber the first's parquet
+    # before its lazy read-back executes (ADVICE r4)
+    before = len(spill_dirs("substring-occ-k4-"))
+    lazy1 = CL.substring_spans(corpus, k=4, scratch_dir=sd)
+    lazy2 = CL.substring_spans(corpus.filter("doc_id <= 2"), k=4, scratch_dir=sd)
+    assert len(spill_dirs("substring-occ-k4-")) == before + 2
+    assert key_spans(lazy1) == key_spans(CL.substring_spans(corpus, k=4))
+    assert key_spans(lazy2) == key_spans(
+        CL.substring_spans(corpus.filter("doc_id <= 2"), k=4)
+    )

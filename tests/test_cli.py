@@ -286,3 +286,26 @@ def test_curate_substring_and_lm_flags(spark, capsys, tmp_path):
     ]) == 0
     stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats2["out_docs"] < stats["out_docs"]
+
+
+def test_split_spec_validation():
+    """--split specs are validated up front: malformed parts and
+    over-committed fractions exit with a clear message instead of an
+    IndexError traceback or a silently-starved last split (ADVICE r4)."""
+    from spiders_for_all_spark.cli import _parse_split_spec
+
+    assert _parse_split_spec("train:0.9,val:0.05,test:0.05") == [
+        ("train", 0.9), ("val", 0.05), ("test", 0.05)
+    ]
+    for bad, msg in [
+        ("train:0.9,val", "malformed"),
+        ("train", "malformed"),
+        (":0.9", "malformed"),
+        ("train:", "malformed"),
+        ("train:x", "not a number"),
+        ("train:0.0", "must be in"),
+        ("train:1.5", "must be in"),
+        ("train:0.9,val:0.2", "sum"),
+    ]:
+        with pytest.raises(SystemExit, match=msg):
+            _parse_split_spec(bad)

@@ -121,11 +121,63 @@ def test_connected_components_star_matches_min_label(spark):
     assert len(out) == 65
 
 
+def test_star_pair_count_is_linear_in_bucket_size(spark):
+    """A boilerplate doc duplicated n times lands every copy in the same
+    LSH buckets; pair emission must be O(n) — each copy paired with the
+    bucket min — not the all-pairs join's O(n²/2).  (At 100 TB a 1M-copy
+    template would otherwise emit 5·10¹¹ pairs from one bucket.)"""
+    n = 2000
+    text = (
+        "common boilerplate navigation footer text repeated verbatim on "
+        "every page of the site"
+    )
+    docs = spark.createDataFrame(
+        [(f"c{i:05d}", text) for i in range(n)], "doc_id string, text string"
+    )
+    pairs = TD.minhash_candidate_pairs(docs)
+    assert pairs.count() == n - 1
+    first = pairs.agg(F.min("a"), F.max("a")).first()
+    assert first[0] == first[1] == "c00000"  # every pair anchored at the min
+
+
+def test_incremental_probe_repair_edge_keeps_components(spark):
+    """When a LATER batch introduces a new bucket minimum, the probe emits
+    a repair edge (new_min, old_min) re-linking the existing star — the
+    union of increments stays connected-component-equal to the one-shot
+    star even though the pair SETS differ."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [("d5", text), ("d7", text), ("d1", text), ("d2", text)],
+        "doc_id string, text string",
+    )
+    b1 = docs.filter(F.col("doc_id").isin("d5", "d7"))
+    b2 = docs.filter(F.col("doc_id").isin("d1", "d2"))
+    bands1 = TD.minhash_index_rows(b1)
+    p1 = TD.minhash_index_probe(bands1)
+    p2 = TD.minhash_index_probe(TD.minhash_index_rows(b2), index=bands1)
+    union = p1.unionByName(p2)
+    got_pairs = {(r["a"], r["b"]) for r in union.collect()}
+    assert ("d1", "d5") in got_pairs  # the repair edge: new min -> old min
+    one_shot = TD.minhash_candidate_pairs(docs)
+    assert got_pairs != {(r["a"], r["b"]) for r in one_shot.collect()}
+    cc_got = {
+        r["doc_id"]: r["component"]
+        for r in TD.connected_components(union).collect()
+    }
+    cc_want = {
+        r["doc_id"]: r["component"]
+        for r in TD.connected_components(one_shot).collect()
+    }
+    assert cc_got == cc_want == {k: "d1" for k in ("d1", "d2", "d5", "d7")}
+
+
 def test_incremental_index_equals_one_shot(spark, docs):
     """Two-batch incremental probe reproduces the one-shot candidate-pair
-    set exactly (batch1 self-probe ∪ batch2-vs-index probe), with the
-    corpus side broadcast-pruned — and with broadcast off the pairs are
-    identical (the knob changes the plan, never the answer)."""
+    set (batch1 self-probe ∪ batch2-vs-index probe), with the corpus side
+    broadcast-pruned — and with broadcast off the pairs are identical (the
+    knob changes the plan, never the answer).  Set equality (not just
+    CC-equality) holds here because batch 1 carries every bucket's
+    eventual minimum; the repair-edge test above covers the other case."""
     one_shot = {(r["a"], r["b"]) for r in TD.minhash_candidate_pairs(docs).collect()}
     b1 = docs.filter(F.col("doc_id").isin("d1", "d2"))
     b2 = docs.filter(~F.col("doc_id").isin("d1", "d2"))

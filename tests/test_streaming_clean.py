@@ -218,15 +218,23 @@ def test_streaming_recrawl_schedule_matches_batch_twin(spark, tmp_path):
 
     rows = [
         # url 1: change then 3 stable; url 2: changes every fetch;
-        # url 3: appears only in the last batch
+        # url 3: appears only in the last batch; url 4: NULL fingerprints
+        # crossing micro-batch boundaries — batch semantics are "prev NULL
+        # => change, current NULL after non-null => NO change" (Catalyst
+        # fp != lag(fp) null-propagation), and the stateful twin must
+        # reproduce them exactly (ADVICE r4).
         (1, datetime(2024, 1, 1, 0, 0, 0), 0, "a"),
         (2, datetime(2024, 1, 1, 0, 0, 0), 1, "x"),
-        (1, datetime(2024, 1, 1, 0, 1, 0), 2, "a"),
-        (2, datetime(2024, 1, 1, 0, 1, 0), 3, "y"),
-        (1, datetime(2024, 1, 1, 0, 2, 0), 4, "a"),
-        (2, datetime(2024, 1, 1, 0, 2, 0), 5, "z"),
-        (1, datetime(2024, 1, 1, 0, 3, 0), 6, "a"),
-        (3, datetime(2024, 1, 1, 0, 3, 0), 7, "q"),
+        (4, datetime(2024, 1, 1, 0, 0, 0), 2, "m"),
+        (1, datetime(2024, 1, 1, 0, 1, 0), 3, "a"),
+        (2, datetime(2024, 1, 1, 0, 1, 0), 4, "y"),
+        (4, datetime(2024, 1, 1, 0, 1, 0), 5, None),
+        (1, datetime(2024, 1, 1, 0, 2, 0), 6, "a"),
+        (2, datetime(2024, 1, 1, 0, 2, 0), 7, "z"),
+        (4, datetime(2024, 1, 1, 0, 2, 0), 8, None),
+        (1, datetime(2024, 1, 1, 0, 3, 0), 9, "a"),
+        (3, datetime(2024, 1, 1, 0, 3, 0), 10, "q"),
+        (4, datetime(2024, 1, 1, 0, 3, 0), 11, "m"),
     ]
     schema = "url_id bigint, ts timestamp, fetch_id bigint, fingerprint string"
     full = spark.createDataFrame(rows, schema)
@@ -242,7 +250,7 @@ def test_streaming_recrawl_schedule_matches_batch_twin(spark, tmp_path):
     }
 
     path = str(tmp_path / "fetch_stream")
-    for chunk in (rows[:3], rows[3:6], rows[6:]):
+    for chunk in (rows[:3], rows[3:6], rows[6:9], rows[9:]):
         spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
             "append"
         ).parquet(path)

@@ -176,6 +176,14 @@ def add_crawl_args(ap: argparse.ArgumentParser) -> None:
     """Shared with jobs/crawl_job.py (the spark-submit entry)."""
     ap.add_argument("--site", help="parquet site for the synthetic fetcher")
     ap.add_argument("--seeds", help="text file of seed URLs")
+    ap.add_argument(
+        "--spider",
+        action="append",
+        default=None,
+        metavar="NAME",
+        help="named spider from the seed catalog (name or alias; "
+        "repeatable) — see the 'spiders' verb for the list",
+    )
     ap.add_argument("--warehouse", default=None)
     ap.add_argument("--budget", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=30)
@@ -207,10 +215,23 @@ def run_crawl(spark: SparkSession, ns: argparse.Namespace) -> dict:
         FX.write_site(rows, site)
     else:
         site = ns.site
-        seed_urls = [
-            r["id"] for r in ids_from_text_file(spark, ns.seeds).collect()
-        ]
-        seeds = [{"url": u, "priority": 0} for u in seed_urls]
+        seeds = []
+        if ns.seeds:
+            seed_urls = [
+                r["id"] for r in ids_from_text_file(spark, ns.seeds).collect()
+            ]
+            seeds = [{"url": u, "priority": 0} for u in seed_urls]
+        if getattr(ns, "spider", None):
+            from spiders_for_all_spark.sources.seed_catalog import seeds_for
+
+            try:
+                seeds.extend(seeds_for(ns.spider))
+            except KeyError as exc:
+                raise SystemExit(str(exc)) from None
+        if not seeds:
+            raise SystemExit(
+                "crawl: need --seeds, --spider, or --synthetic"
+            )
 
     warehouse = ns.warehouse or tempfile.mkdtemp(prefix="sfas_wh_")
     storage = SnapshotStorage(spark, warehouse)
@@ -234,6 +255,17 @@ def run_crawl(spark: SparkSession, ns: argparse.Namespace) -> dict:
         "documents": storage.read("documents").count(),
         "warehouse": warehouse,
     }
+
+
+def cmd_spiders(_ns: argparse.Namespace) -> int:
+    """List the named fixed-endpoint spiders (reference: 27 rank/popular
+    classes registered by name AND alias, core/spider.py:122-131)."""
+    from spiders_for_all_spark.sources.seed_catalog import SPIDER_SEEDS
+
+    for s in SPIDER_SEEDS:
+        pag = f" paginated(size={s.page_size})" if s.paginated else ""
+        print(f"{s.name:18s} {s.alias:8s} {s.platform}{pag}  {s.seed_url}")
+    return 0
 
 
 def cmd_crawl(ns: argparse.Namespace) -> int:
@@ -419,6 +451,9 @@ def cmd_curate(ns: argparse.Namespace) -> int:
         substring_k=ns.substring_dedup,
         min_lm_bits=ns.min_lm_bits,
         max_lm_bits=ns.max_lm_bits,
+        lm_train_df=(
+            spark.read.parquet(ns.lm_train) if ns.lm_train else None
+        ),
     )
     if ns.split:
         from spiders_for_all_spark.operators.export import split_assign
@@ -523,6 +558,12 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("crawl", help="run the crawl engine")
     add_crawl_args(c)
 
+    sub.add_parser(
+        "spiders",
+        help="named fixed-endpoint spiders from the seed catalog "
+        "(usable as crawl --spider NAME)",
+    )
+
     d = sub.add_parser(
         "download-by-sql",
         help="fetch media for SQL-selected URLs into a file sink",
@@ -587,6 +628,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(boilerplate)")
     cu.add_argument("--max-lm-bits", type=float, default=None,
                     help="drop docs above this bigram-LM bits/token (noise)")
+    cu.add_argument("--lm-train", default=None, metavar="PARQUET",
+                    help="train the LM band's bigram counts on this "
+                         "held-out corpus (doc_id, text) instead of "
+                         "self-scoring")
     cu.add_argument("--pack-seq-len", type=int, default=None, metavar="L",
                     help="also write the L-token sequence-packing manifest "
                          "next to --out (concatenate-and-chunk)")
@@ -623,6 +668,7 @@ def main(argv: list[str] | None = None) -> int:
         "sql": cmd_sql,
         "list-schema": cmd_list_schema,
         "crawl": cmd_crawl,
+        "spiders": cmd_spiders,
         "download-by-sql": cmd_download_by_sql,
         "download-by-ids": cmd_download_by_ids,
         "download-by-host": cmd_download_by_host,

@@ -365,31 +365,49 @@ def lm_perplexity(
     text_col: str = "text",
     id_col: str = "doc_id",
     scratch_dir: str | None = None,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-document bigram surprisal under the corpus's own bigram LM,
-    Laplace-smoothed.
+    """Per-document bigram surprisal under a bigram LM, Laplace-smoothed.
 
     Returns (id, n_bigrams, bits_per_token) for every document with at
     least one bigram: ``bits_per_token = mean(-log2((c(w1,w2) + 1) /
-    (c(w1·) + V)))`` with V the corpus bigram-start vocabulary.  The
+    (c(w1·) + V)))`` with V the training bigram-start vocabulary.  The
     add-one smoothing is what gives the score its filtering power: an
     UNSMOOTHED self-scored LM assigns 0 bits to any once-seen transition
     (c12 = c1 = 1 — rare garbage looks perfectly predictable); smoothed,
     a rare transition costs ~log2(V) bits while corpus boilerplate stays
-    cheap.  It also makes held-out scoring well-defined (train the count
-    tables on a different DataFrame; unseen bigrams get the 1/(c1+V)
-    floor).
+    cheap.
+
+    ``train_df`` (default: ``df`` itself — CCNet-style self-scoring)
+    trains the count tables on a DIFFERENT corpus: scoring bigrams join
+    the training counts LEFT, so a transition never seen in training
+    costs the smoothing floor -log2(1 / (c(w1·)+V)) (and -log2(1/V) when
+    even w1 is unseen) — the held-out setup a quality classifier wants
+    (Wenzek 2020 trains on Wikipedia, scores Common Crawl).
     """
     bg = df.select(
         F.col(id_col).cast("string").alias("_id"),
         F.explode(bigram_structs(F.col(text_col))).alias("b"),
     ).select("_id", "b.w1", "b.w2")
     bg = _maybe_spill(bg, scratch_dir, "lm-bigrams")
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = bg.agg(F.countDistinct("w1").alias("v"))
+    if train_df is None:
+        tb = bg
+    else:
+        tb = train_df.select(
+            F.explode(bigram_structs(F.col(text_col))).alias("b")
+        ).select("b.w1", "b.w2")
+        # the training stream feeds three consumers (c12/c1/vocab)
+        tb = _maybe_spill(tb, scratch_dir, "lm-train-bigrams")
+    c12 = tb.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = tb.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = tb.agg(F.countDistinct("w1").alias("v"))
+    # LEFT joins + coalesce(0): identical to inner joins when self-trained
+    # (every scoring bigram is in its own counts), and the Laplace floor
+    # for training-unseen bigrams in the held-out case.
     scored = (
-        bg.join(c12, ["w1", "w2"]).join(c1, "w1").crossJoin(F.broadcast(vocab))
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
     )
     return (
         scored.groupBy("_id")
@@ -398,8 +416,10 @@ def lm_perplexity(
             F.round(
                 F.avg(
                     -F.log2(
-                        (F.col("c12") + 1).cast("double")
-                        / (F.col("c1") + F.col("v")).cast("double")
+                        (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                        / (
+                            F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+                        ).cast("double")
                     )
                 ),
                 4,

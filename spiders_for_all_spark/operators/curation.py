@@ -117,6 +117,7 @@ def curate_corpus(
     substring_k: int | None = None,
     min_lm_bits: float | None = None,
     max_lm_bits: float | None = None,
+    lm_train_df: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus-freeze composition every pretraining pipeline runs:
     domain blocklist -> repetition filter -> near-dedup (keep cluster
@@ -208,11 +209,13 @@ def curate_corpus(
         # CCNet-style perplexity band: keep the middle, drop boilerplate
         # (low bits) and noise (high bits).  Inner join also drops docs
         # with no bigrams (<2 words) — they carry no LM signal.
+        # With ``lm_train_df`` the band scores against a held-out LM
+        # (train elsewhere, score this corpus) instead of self-scoring.
         from spiders_for_all_spark.operators.cleaning import lm_perplexity
 
-        scores = lm_perplexity(out, text_col, id_col).withColumnRenamed(
-            id_col, "_sid"
-        )
+        scores = lm_perplexity(
+            out, text_col, id_col, train_df=lm_train_df
+        ).withColumnRenamed(id_col, "_sid")
         out = out.withColumn("_sid", F.col(id_col).cast("string")).join(
             scores, on="_sid"
         )

@@ -137,3 +137,49 @@ def span_stats(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
         text_chars.alias("text_chars"),
         interleaved.alias("interleaved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-sequence fingerprint: one md5 per document over the ORDERED span
+# sequence — the per-row invariant the north_rule checks (span-sequence
+# equality: kind, text, media_ref, order).  The Catalyst expression and the
+# pure-python twin must stay byte-identical: the golden e2e oracle
+# (tools/export_golden_spans.py -> tests/fixtures/) hashes simulator spans
+# with the _py twin and the live crawl hashes its spans with the Column
+# version; \x1f separates fields, \x1e separates spans, NULL text/media_ref
+# hash as ''.
+
+
+def span_fingerprint(spans) -> "F.Column":
+    return F.md5(
+        F.concat_ws(
+            "\x1e",
+            F.transform(
+                spans,
+                lambda s: F.concat_ws(
+                    "\x1f",
+                    s["kind"],
+                    F.coalesce(s["text"], F.lit("")),
+                    F.coalesce(s["media_ref"], F.lit("")),
+                    s["offset"].cast("string"),
+                ),
+            ),
+        )
+    )
+
+
+def span_fingerprint_py(spans: list[dict]) -> str:
+    import hashlib
+
+    parts = [
+        "\x1f".join(
+            [
+                s["kind"],
+                s.get("text") or "",
+                s.get("media_ref") or "",
+                str(s["offset"]),
+            ]
+        )
+        for s in spans
+    ]
+    return hashlib.md5("\x1e".join(parts).encode("utf-8")).hexdigest()

@@ -60,7 +60,12 @@ def next_page_url_py(url: str) -> str:
 
 
 def url_page_no(url: Column) -> Column:
-    return F.regexp_extract(url, r"[?&]page=(\d+)", 1).cast("int")
+    # '' -> 0 like the py twin below: a URL without page= must not be an
+    # ANSI cast error (single-shot endpoints are page-kind without params)
+    return F.coalesce(
+        F.nullif(F.regexp_extract(url, r"[?&]page=(\d+)", 1), F.lit("")),
+        F.lit("0"),
+    ).cast("int")
 
 
 def url_page_no_py(url: str) -> int:

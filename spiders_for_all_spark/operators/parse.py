@@ -577,9 +577,15 @@ def _build_parse_exprs(
     next_cursor = F.when(
         good & (kind == "cursor") & env_ok, data.getField("cursor")
     ).otherwise(F.lit(None).cast("string"))
+    # nullif before the cast: a page-kind URL WITHOUT a size= param (e.g.
+    # a single-shot rank endpoint from the seed catalog) extracts '' and
+    # must yield NULL like the py spec (parse_body:175), not an ANSI cast
+    # error.
     page_size = F.when(
         good & (kind == "page") & env_ok,
-        F.regexp_extract(F.col("url"), r"[?&]size=(\d+)", 1).cast("int"),
+        F.nullif(
+            F.regexp_extract(F.col("url"), r"[?&]size=(\d+)", 1), F.lit("")
+        ).cast("int"),
     ).otherwise(F.lit(None).cast("int"))
 
     page_title = F.when(

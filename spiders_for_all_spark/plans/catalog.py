@@ -1481,20 +1481,34 @@ def k2_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# crawl end-to-end (non-SQL-expressible: iterative engine; rows-only check)
+# crawl end-to-end: the live multi-round engine vs a golden parquet the
+# reference-semantics SIMULATOR exported (tools/export_golden_spans.py) —
+# the iterative engine itself is not SQL-expressible, but its ANSWER is a
+# fixed table, so the driver's hash gate can check it like any oracle.
 
 
-def crawl_e2e_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full crawl over a deterministic synthetic site; spans exploded to rows.
-
-    Registered WITHOUT an oracle (iterative multi-round engine); the golden
-    equality vs the reference-semantics simulator lives in
-    tests/test_crawl_golden.py.
+@_register(
+    "crawl_e2e_spans",
     """
+    SELECT doc_id, n_spans, spans_fp
+    FROM read_parquet('/root/repo/tests/fixtures/golden_e2e_spans.parquet')
+    """,
+)
+def crawl_e2e_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full crawl over the deterministic seed=11 synthetic site; one
+    (doc_id, n_spans, spans_fp) row per document, where spans_fp is the
+    md5 of the ORDERED span sequence (kind, text, media_ref, offset —
+    operators/documents.py:span_fingerprint).  The oracle is the
+    simulator's answer for the same site+config, regenerated via
+    `python tools/export_golden_spans.py`; equality IS the north_rule's
+    span-sequence invariant.  Full per-span golden equality (plus
+    ordering / seen-set / dead-letter equality) lives in
+    tests/test_crawl_golden.py."""
     import tempfile
 
     from spiders_for_all_spark import fixtures as FX
     from spiders_for_all_spark.engine import Crawler, CrawlConfig
+    from spiders_for_all_spark.operators.documents import span_fingerprint
     from spiders_for_all_spark.sources.fetcher import SyntheticFetcher
     from spiders_for_all_spark.storage import SnapshotStorage
 
@@ -1508,12 +1522,11 @@ def crawl_e2e_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, storage, SyntheticFetcher(site), CrawlConfig(default_budget=3, max_rounds=30)
     ).run(seeds=seeds)
     docs = storage.read("documents")
-    return docs.select("doc_id", F.explode("spans").alias("s")).select(
-        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    return docs.select(
+        "doc_id",
+        F.size("spans").cast("bigint").alias("n_spans"),
+        span_fingerprint(F.col("spans")).alias("spans_fp"),
     )
-
-
-QUERIES["crawl_e2e_spans"] = crawl_e2e_spans
 
 
 # ---------------------------------------------------------------------------
@@ -2091,6 +2104,53 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return lm_perplexity(d)
+
+
+@_register(
+    "text_lm_perplexity_heldout",
+    """
+    WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                         CAST(doc_id AS BIGINT) % 5 = 0 AS is_score,
+                         {norm} AS norm
+                  FROM documents),
+    w AS (SELECT doc_id, is_score, string_split(norm, ' ') AS w FROM docs),
+    bg AS (SELECT doc_id, is_score, u.w1 AS w1, u.w2 AS w2
+           FROM (SELECT doc_id, is_score,
+                        unnest([{'w1': w[i+1], 'w2': w[i+2]}
+                                for i in range(greatest(len(w)-1, 0))]) AS u
+                 FROM w)),
+    tb AS (SELECT w1, w2 FROM bg WHERE NOT is_score),
+    sb AS (SELECT doc_id, w1, w2 FROM bg WHERE is_score),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM tb GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w1) AS v FROM tb)
+    SELECT sb.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2(CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE)
+                           / (coalesce(c1.c1, 0) + vocab.v))),
+                 4) AS bits_per_token
+    FROM sb
+    LEFT JOIN c12 ON c12.w1 = sb.w1 AND c12.w2 = sb.w2
+    LEFT JOIN c1 ON c1.w1 = sb.w1
+    CROSS JOIN vocab
+    GROUP BY sb.doc_id
+    """.replace("{norm}", _NORM_SQL),
+)
+def text_lm_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring (the Wenzek 2020 deployment shape: train the LM
+    on one corpus, score another): every 5th document is scored under a
+    bigram LM trained on the OTHER 80% — training-unseen transitions pay
+    the Laplace floor via LEFT join + coalesce(0), never a dropped row.
+    Same single rounded-float reduction as the self-scored entry."""
+    from spiders_for_all_spark.operators.cleaning import lm_perplexity
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    is_score = F.col("doc_id").cast("bigint") % 5 == 0
+    return lm_perplexity(
+        d.filter(is_score), train_df=d.filter(~is_score)
+    )
 
 
 # Deterministic synthetic PII (the driver corpus contains none): contact
@@ -2696,6 +2756,45 @@ def export_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(d, k=50)
 
 
+# ---------------------------------------------------------------------------
+# S3 breadth: the declarative named-spider seed catalog as a queryable
+# table (reference registers 27 fixed-endpoint classes by name AND alias,
+# core/spider.py:122-131; endpoints spiders/bilibili/spiders.py:79-398).
+# The oracle literal is rendered from the same declarative rows — the
+# check pins that the catalog module ships exactly this table.
+
+from spiders_for_all_spark.sources.seed_catalog import SPIDER_SEEDS  # noqa: E402
+
+_SEED_VALUES_SQL = ",\n      ".join(
+    f"('{s.name}', '{s.alias}', '{s.platform}', '{s.seed_url}', "
+    f"{str(s.paginated).upper()}, {s.page_size})"
+    for s in SPIDER_SEEDS
+)
+
+
+@_register(
+    "s3_spider_seed_catalog",
+    f"""
+    SELECT * FROM (VALUES
+      {_SEED_VALUES_SQL}
+    ) AS t(name, alias, platform, seed_url, paginated, page_size)
+    """,
+)
+def s3_spider_seed_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-spider seed catalog (sources/seed_catalog.py), one row per
+    reference spider class; `cli.py crawl --spider <name-or-alias>` seeds
+    the round loop from these rows (golden visit-order test in
+    tests/test_cli.py)."""
+    return spark.createDataFrame(
+        [
+            (s.name, s.alias, s.platform, s.seed_url, s.paginated, s.page_size)
+            for s in SPIDER_SEEDS
+        ],
+        "name string, alias string, platform string, seed_url string,"
+        " paginated boolean, page_size int",
+    )
+
+
 # ===========================================================================
 # Driver-gate registration order.
 #
@@ -2763,6 +2862,8 @@ _GATE_FIRST = [
     "export_split_counts",
     "export_shard_manifest",
     "export_vocab_topk",
+    # Round-5 additions.
+    "text_lm_perplexity_heldout",
 ]
 
 _missing = [k for k in _GATE_FIRST if k not in QUERIES]

@@ -309,3 +309,122 @@ def test_split_spec_validation():
     ]:
         with pytest.raises(SystemExit, match=msg):
             _parse_split_spec(bad)
+
+
+def _catalog_site(tmpdir: str) -> str:
+    """Synthetic site serving two seed-catalog endpoints: popular is a
+    2-page chain (full page 1 -> page 2 short), rank_all is single-shot."""
+    import json as _json
+
+    def body(items, out_links=()):
+        return _json.dumps(
+            {"code": 0, "message": "ok",
+             "data": {"list": items, "out_links": list(out_links)}}
+        )
+
+    def items(prefix, n):
+        return [
+            {"id": f"{prefix}-{k}", "title": f"title {prefix}-{k}",
+             "desc": "d", "images": [], "videos": []}
+            for k in range(n)
+        ]
+
+    from spiders_for_all_spark.sources.seed_catalog import lookup
+
+    pop = lookup("popular")
+    ps = pop.page_size
+    page1 = pop.seed_url                      # ...popular?page=1&size=<ps>
+    page2 = page1.replace("page=1", "page=2")
+    rank = lookup("rank_all").seed_url
+    rows = [
+        FX._page_row(page1, "page", body(items("pop1", ps))),  # full -> p2
+        FX._page_row(page2, "page", body(items("pop2", 1))),   # short -> stop
+        FX._page_row(rank, "page", body(items("rank", 3))),
+    ]
+    site = os.path.join(tmpdir, "pages.parquet")
+    FX.write_site(rows, site)
+    return site
+
+
+def test_crawl_named_spiders_golden_order(spark, capsys, tmp_path):
+    """S3 breadth parity: `crawl --spider popular --spider rank_all`
+    resolves the declarative seed catalog (reference registers 27
+    fixed-endpoint classes by name+alias, core/spider.py:122-131;
+    endpoints spiders/bilibili/spiders.py:79-398) and the round loop
+    reproduces the golden visit order: both seeds in round 0, popular's
+    page-2 successor in round 1, rank_all single-shot."""
+    site = _catalog_site(str(tmp_path))
+    wh = str(tmp_path / "wh")
+    assert main([
+        "crawl", "--site", site, "--spider", "popular",
+        "--spider", "rank_all", "--warehouse", wh, "--rounds", "5",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["fetched"] == 3
+
+    from spiders_for_all_spark.cli import build_session
+    from spiders_for_all_spark.storage import SnapshotStorage
+
+    storage = SnapshotStorage(build_session(), wh)
+    log = storage.read("fetch_log").select("round", "url").collect()
+    by_round: dict[int, set] = {}
+    for r in log:
+        by_round.setdefault(r["round"], set()).add(r["url"])
+    from spiders_for_all_spark.sources.seed_catalog import lookup
+
+    page1 = lookup("popular").seed_url
+    assert by_round == {
+        0: {page1, lookup("rank_all").seed_url},
+        1: {page1.replace("page=1", "page=2")},
+    }
+    # every fetched page parsed into items (ps + 1 + 3 item docs)
+    docs = storage.read("documents")
+    assert docs.count() == lookup("popular").page_size + 1 + 3
+
+
+def test_crawl_spider_alias_resolves_and_dedups(spark, capsys, tmp_path):
+    """A spider named by BOTH name and Chinese alias seeds exactly once
+    (the reference registry maps both keys to one class)."""
+    site = _catalog_site(str(tmp_path))
+    wh = str(tmp_path / "wh2")
+    assert main([
+        "crawl", "--site", site, "--spider", "全站",
+        "--spider", "rank_all", "--warehouse", wh, "--rounds", "3",
+    ]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["fetched"] == 1  # one seed, single-shot
+
+    with pytest.raises(SystemExit, match="unknown spider 'nope'"):
+        main(["crawl", "--site", site, "--spider", "nope"])
+
+
+def test_spiders_verb_lists_catalog(capsys):
+    assert main(["spiders"]) == 0
+    out = capsys.readouterr().out
+    assert "popular" in out and "rank_all" in out and "全站" in out
+    assert len(out.strip().splitlines()) == 27
+
+
+def test_curate_lm_train_heldout_band(spark, tmp_path, capsys):
+    """--lm-train scores the corpus under a HELD-OUT bigram LM: trained on
+    an unrelated tiny corpus, every sf transition is training-unseen and
+    costs exactly the Laplace floor log2(V) > 4 bits, so a max-lm-bits 4.0
+    band drops the whole corpus — while the same corpus without the band
+    survives (the flag demonstrably changes the scoring model)."""
+    words = " ".join(f"z{c}" for c in "abcdefghijklmnopqrstuvwx")  # 24 words
+    train = spark.createDataFrame(
+        [("t1", words), ("t2", words)], "doc_id string, text string"
+    )
+    tp = str(tmp_path / "train_pq")
+    train.write.parquet(tp)
+    out1 = str(tmp_path / "o1")
+    out2 = str(tmp_path / "o2")
+    assert main(["curate", "--sf-dir", SF_DIR, "--out", out1]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main([
+        "curate", "--sf-dir", SF_DIR, "--max-lm-bits", "4.0",
+        "--lm-train", tp, "--out", out2,
+    ]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["out_docs"] > 0
+    assert s2["out_docs"] == 0

@@ -404,3 +404,54 @@ def test_snapshot_dir_bytes_stay_bounded(spark, world, tmp_path):
         s / max(r.scheduled, 1) for s, r in zip(sizes, stats.rounds)
     ]
     assert max(per_row) < 20 * min(p for p in per_row if p > 0)
+
+
+def test_mor_fifty_round_cadence_bounds_files(spark, tmp_path):
+    """50 MoR merge rounds at a 10-round compact+expire cadence: delta-dir
+    sprawl is the 100x-scale failure mode (every round appends one keyed
+    delta dir), so the data-dir count must stay bounded by
+    touched-buckets + cadence at every point, reads must resolve
+    last-writer-wins all the way through, and a final compact folds the
+    table back to O(buckets) dirs (VERDICT r4 item 10)."""
+    import random
+
+    st = SnapshotStorage(spark, str(tmp_path / "wh"))
+    n_buckets = 8
+    cadence = 10
+    rng = random.Random(5)
+    expect: dict[str, str] = {}
+    max_dirs = 0
+    for rnd in range(50):
+        lo = rng.randrange(0, 120)
+        hi = lo + 15
+        tag = f"r{rnd}-"
+        stamp = f"2026-01-01 00:{rnd // 60:02d}:{rnd % 60:02d}"
+        st.merge_upsert(
+            "documents", _docs_df(spark, lo, hi, tag, stamp=stamp),
+            key="doc_id", keep_on_match=["create_at"], strategy="mor",
+            n_buckets=n_buckets,
+        )
+        for i in range(lo, hi):
+            expect[f"doc{i}"] = f"{tag}{i}"
+        if (rnd + 1) % cadence == 0:
+            st.compact("documents")
+            st.expire_snapshots("documents", keep_last=2)
+            got = {
+                r["doc_id"]: r["spans"][0]["text"]
+                for r in st.read("documents").collect()
+            }
+            assert got == expect, f"read diverged after round {rnd}"
+        max_dirs = max(max_dirs, st.n_data_dirs("documents"))
+    # bounded the whole way: folded base (<= touched buckets) + at most
+    # one delta dir per round since the last cadence point
+    assert max_dirs <= n_buckets + cadence, max_dirs
+    st.compact("documents")
+    assert st.n_data_dirs("documents") <= n_buckets
+    # manifests bounded by expiry, not by crawl length
+    st.expire_snapshots("documents", keep_last=2)
+    assert len(st.snapshots("documents")) <= 2
+    got = {
+        r["doc_id"]: r["spans"][0]["text"]
+        for r in st.read("documents").collect()
+    }
+    assert got == expect

@@ -96,8 +96,17 @@ def minhash_candidate_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     star: bool = True,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs (a < b) via banded MinHash LSH.
+
+    ``scratch_dir`` spills the narrow (doc_id, band, bucket) band stream
+    to parquet once (the engine round-spill pattern): the band rows feed
+    BOTH sides of the pair join, and without the spill each side
+    re-shingles and re-hashes the full corpus from the scan (two
+    signature aggregations in the executed plan).  Locally that is two
+    cheap passes; at 100 TB shingling the corpus twice dwarfs the spill
+    of a three-narrow-column table.
 
     ``star=True`` (default, the scale path): every bucket member is paired
     with the bucket's MIN id — the bucket becomes a star centered on its
@@ -114,6 +123,10 @@ def minhash_candidate_pairs(
     """
     sig = minhash_signature(df, text_col, id_col, n_hashes, shingle_n)
     bands = minhash_bands(sig, id_col, n_hashes, band_size)
+    if scratch_dir is not None:
+        from spiders_for_all_spark.operators.cleaning import _maybe_spill
+
+        bands = _maybe_spill(bands, scratch_dir, "minhash-bands")
     if star:
         reps = bands.groupBy("band", "bucket").agg(F.min(id_col).alias("a"))
         return (
@@ -429,11 +442,14 @@ def minhash_dup_clusters(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup clusters: banded-MinHash candidate pairs -> connected
     components.  The at-scale composition every corpus dedup pipeline runs
     (keep component representative, drop the rest)."""
-    return connected_components(minhash_candidate_pairs(df, text_col, id_col))
+    return connected_components(
+        minhash_candidate_pairs(df, text_col, id_col, scratch_dir=scratch_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -333,3 +333,27 @@ def test_topk_per_query_window(spark, emb):
     out = SIM.brute_force_topk_per_query(emb, queries, k=3)
     counts = out.groupBy("q_id").count().collect()
     assert all(r["count"] == 3 for r in counts)
+
+
+def test_minhash_pairs_scratch_spill_identical(spark, docs, tmp_path):
+    """With scratch_dir set the band stream materializes once (both pair-
+    join sides read the spill — the corpus is shingled exactly once) and
+    the pair set is bit-identical to the no-spill plan."""
+    import os
+
+    sd = str(tmp_path / "scratch")
+    plain = {(r["a"], r["b"]) for r in TD.minhash_candidate_pairs(docs).collect()}
+    spilled = {
+        (r["a"], r["b"])
+        for r in TD.minhash_candidate_pairs(docs, scratch_dir=sd).collect()
+    }
+    assert spilled == plain
+    assert any(d.startswith("minhash-bands") for d in os.listdir(sd))
+    clusters = {
+        r["doc_id"]: r["component"]
+        for r in TD.minhash_dup_clusters(docs, scratch_dir=sd).collect()
+    }
+    assert clusters == {
+        r["doc_id"]: r["component"]
+        for r in TD.minhash_dup_clusters(docs).collect()
+    }

@@ -262,7 +262,59 @@ def _steal_ticks() -> int:
         return 0
 
 
+# window-quality gating: co-tenant steal on this shared host is bursty
+# (CLAUDE.md: only trust windows with <~1 CPU-s/5 s).  Rather than hope the
+# caller picked a clean window, the bench (a) polls for one before starting,
+# bounded by SPARK_GRAFT_STEAL_WAIT_S, and (b) re-runs the two headline
+# crawl measurements (bounded retries) if a burst landed mid-measurement —
+# min-of-attempts only ever improves the noise-robust estimate.
+STEAL_GATE_5S = float(os.environ.get("SPARK_GRAFT_STEAL_GATE", "1.0"))
+STEAL_WAIT_S = float(os.environ.get("SPARK_GRAFT_STEAL_WAIT_S", "300"))
+STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+_wait_budget_s = STEAL_WAIT_S  # GLOBAL across the whole bench — gate waits
+# before the run and between headline retries draw from one pot, so the
+# worst case adds a bounded, driver-timeout-safe amount of wall-clock.
+
+
+def _wait_clean_window() -> float:
+    """Poll 5 s steal windows until one is clean or the global wait budget
+    runs out; returns seconds waited (0.0 if the first window was clean)."""
+    global _wait_budget_s
+    start = time.monotonic()
+    while _wait_budget_s > 0:
+        s0 = _steal_ticks()
+        time.sleep(5)
+        _wait_budget_s -= 5
+        if (_steal_ticks() - s0) / 100.0 < STEAL_GATE_5S:
+            return round(time.monotonic() - start - 5.0, 1)
+    return round(time.monotonic() - start, 1)
+
+
+def _steal_gated(fn, spark) -> tuple[float, int, int]:
+    """Run fn(spark) — which already does its own warmup + min-of-reps —
+    and stamp hypervisor steal over the call.  If the window was contended
+    (steal rate above the CLAUDE.md gate of ~1 CPU-s per 5 wall-seconds),
+    wait for a clean window and re-run, up to STEAL_RETRIES extra attempts
+    while the global wait budget lasts.  Returns (best_seconds, n,
+    attempts): min over all attempts, since co-tenant load only ever ADDS
+    wall-clock — extra attempts can only improve the estimate."""
+    best_t, n, attempts = float("inf"), 0, 0
+    for _ in range(1 + STEAL_RETRIES):
+        s0, w0 = _steal_ticks(), time.monotonic()
+        t, n = fn(spark)
+        attempts += 1
+        wall = time.monotonic() - w0
+        best_t = min(best_t, t)
+        if (_steal_ticks() - s0) / 100.0 <= max(2.0, 0.2 * wall):
+            break
+        if _wait_budget_s <= 0:
+            break
+        _wait_clean_window()
+    return best_t, n, attempts
+
+
 def main() -> None:
+    waited = _wait_clean_window()
     steal0 = _steal_ticks()
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
@@ -274,12 +326,14 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    crawl_s, n_urls = crawl_round_throughput(spark)
+    crawl_s, n_urls, crawl_tries = _steal_gated(crawl_round_throughput, spark)
     urls_per_sec = n_urls / crawl_s if crawl_s > 0 else 0.0
     queries["crawl_round_1m_frontier"] = round(crawl_s, 3)
 
     if not os.environ.get("SPARK_GRAFT_BENCH_CRAWL_ONLY"):
-        commit_s, commit_urls = crawl_round_commit_throughput(spark)
+        commit_s, commit_urls, _ = _steal_gated(
+            crawl_round_commit_throughput, spark
+        )
         queries["crawl_round_with_commits_250k"] = round(commit_s, 3)
         queries["crawl_round_with_commits_urls_per_sec"] = round(
             commit_urls / commit_s if commit_s > 0 else 0.0, 1
@@ -344,6 +398,8 @@ def main() -> None:
                 # whole bench — co-tenant bursts explain slow outliers
                 # (see BASELINE.md scaling section)
                 "steal_s": round((_steal_ticks() - steal0) / 100.0, 1),
+                "steal_gate_wait_s": waited,
+                "headline_attempts": crawl_tries,
             }
         )
     )

@@ -436,7 +436,23 @@ class Crawler:
         # carries exactly the scheduled url_hashes) — re-deriving it from
         # `scheduled` would re-run the whole politeness shuffle chain a
         # second time (measured 5.5 s of the 16 s round at 250k rows).
-        remainder = candidates.join(
+        # Remainder base is the RAW frontier snapshot, not `candidates`:
+        # reusing the candidates plan re-executes the seen anti-join chain a
+        # second time inside the frontier staging job.  The committed
+        # invariant (frontier ∩ effective seen = ∅ — every next_frontier leg
+        # below is seen-filtered) makes candidates == frontier row-for-row
+        # for committed rounds, and the reference-semantics simulator
+        # (simulator.py:186) ALREADY specifies the remainder as frontier ∖
+        # scheduled, so this is the spec-exact form.  Cost: with the exact
+        # anti-join config the dropped leg is a broadcast join (measured
+        # equal within noise at 250k rows); with bloom/cuckoo it re-ran the
+        # full-frontier cogrouped probe (shuffle + Arrow + Python) per round
+        # — measured ~9% off the cuckoo commit round, and the probe chain
+        # grows with |seen| at 10^10 scale.  A hand-injected frontier row
+        # that is already seen stays queued (never scheduled — scheduling
+        # still anti-joins) instead of being silently dropped, matching the
+        # simulator.
+        remainder = frontier.join(
             parsed.select("url_hash"), on="url_hash", how="left_anti"
         )
         succ_new = succ.join(

@@ -488,3 +488,46 @@ def test_resume_from_snapshot(spark, world, tmp_path):
     a = sorted((r["round"], r["url"]) for r in storage.read("fetch_log").collect())
     b = sorted((r["round"], r["url"]) for r in ref_storage.read("fetch_log").collect())
     assert a == b
+
+
+def test_seen_frontier_row_stays_queued_not_dropped(spark, world, tmp_path):
+    """A hand-injected frontier row whose hash is already seen is never
+    scheduled (the anti-join blocks it) and STAYS QUEUED in the committed
+    frontier — the simulator's remainder is frontier ∖ scheduled
+    (simulator.py:186), not candidates ∖ scheduled, so silently dropping
+    the row would diverge from the spec.  Committed rounds never produce
+    such a row (frontier ∩ effective seen = ∅ invariant); this pins the
+    engine's behavior for the hand-injected corner the invariant doesn't
+    cover."""
+    from spiders_for_all_spark.operators import frontier as FR
+
+    storage, _ = run_engine(
+        spark, world, tmp_path / "seenq", budget=2, use_cuckoo=True
+    )
+    done_url = (
+        storage.read("fetch_log")
+        .filter(F.col("error").isNull() & (F.col("url_hash").isNotNull()))
+        .select("url")
+        .first()["url"]
+    )
+    inj = FR.dedup_frontier(
+        FR.seeds_to_frontier(
+            spark, [{"url": done_url, "priority": 0, "kind": "page"}]
+        )
+    )
+    storage.commit("frontier", inj)
+    n_log_before = storage.read("fetch_log").count()
+
+    cfg = CrawlConfig(
+        max_rounds=40, default_budget=2, max_depth=3, use_cuckoo=True,
+        n_buckets=8, cuckoo_capacity_per_bucket=64,
+    )
+    c = Crawler(
+        spark, storage, SyntheticFetcher(world["site_path"], partitions=4), cfg
+    )
+    stats = c.run(max_rounds=1)
+
+    assert stats.rounds[0].scheduled == 0
+    assert storage.read("fetch_log").count() == n_log_before
+    left = storage.read("frontier").collect()
+    assert len(left) == 1 and left[0]["url"] == done_url

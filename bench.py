@@ -367,6 +367,20 @@ def main() -> None:
     # keeps large inputs wide while folding the empty tails.
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    def time_catalog(name: str) -> tuple[float, bool]:
+        """Best-of-reps seconds for one catalog query + whether the timing
+        window was contended (hypervisor steal above the per-call gate)."""
+        s0 = _steal_ticks()
+        w0 = time.monotonic()
+        best = min(
+            timed_noop_write(catalog.QUERIES[name](spark, SF_DIR))
+            for _ in range(BENCH_REPS)
+        )
+        wall = time.monotonic() - w0
+        contended = (_steal_ticks() - s0) / 100.0 > max(2.0, 0.2 * wall)
+        return best, contended
+
+    contended_q: list[str] = []
     for name in catalog_names:
         # steady-state timing: first execution JIT-compiles the generated
         # stage classes (30-90s of one-time cost per session, amortized to
@@ -375,13 +389,20 @@ def main() -> None:
         # wall-clock).  No shuffle reuse inflates it: noop writes leave no
         # reusable exchange for single-query plans re-built from scratch.
         timed_noop_write(catalog.QUERIES[name](spark, SF_DIR))
-        queries[name] = round(
-            min(
-                timed_noop_write(catalog.QUERIES[name](spark, SF_DIR))
-                for _ in range(BENCH_REPS)
-            ),
-            3,
-        )
+        best, contended = time_catalog(name)
+        queries[name] = round(best, 3)
+        if contended:
+            contended_q.append(name)
+    # ONE bounded retry pass for catalog queries whose window carried a
+    # co-tenant steal burst (same rationale as the headline gate: bursts
+    # only ever ADD wall-clock, so min-merging a cleaner attempt improves
+    # the noise-robust estimate; r04's artifact showed 2-3x inflated small
+    # queries from exactly such bursts).  Draws on the same global wait pot.
+    if contended_q and _wait_budget_s > 0:
+        _wait_clean_window()
+        for name in contended_q:
+            best, _ = time_catalog(name)
+            queries[name] = min(queries[name], round(best, 3))
 
     print(
         json.dumps(
@@ -400,6 +421,7 @@ def main() -> None:
                 "steal_s": round((_steal_ticks() - steal0) / 100.0, 1),
                 "steal_gate_wait_s": waited,
                 "headline_attempts": crawl_tries,
+                "catalog_retried": len(contended_q),
             }
         )
     )

@@ -233,6 +233,80 @@ def curate_corpus(
     return out
 
 
+def dsir_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, arXiv:2302.03169):
+    per document, the mean log2 importance ratio of its bigrams under two
+    Laplace-smoothed bigram models — ``target`` (the distribution you
+    want, e.g. a curated reference corpus) over ``corpus`` (the raw pool
+    being scored).  Returns ``(id, n_bigrams, logratio_per_token)``;
+    higher = more target-like.  Selection is a separate, cheap step:
+    top-k on the score, a threshold filter, or a seeded Gumbel draw via
+    the md5 pattern :func:`mixture_resample` uses.
+
+    Same engine shape as ``cleaning.lm_perplexity`` (which this shares
+    its bigram builder with), run twice: both models are one
+    partial-aggregatable groupBy over (w1, w2) triples; the corpus text
+    never rides a shuffle — only ``(id, w1, w2)`` does; vocab scalars
+    ride a broadcast.  Smoothing is load-bearing for the same reason as
+    the LM filter: unsmoothed, a bigram seen once in the raw pool and
+    never in target would send the ratio to -inf and one rare token
+    would dominate the document mean.
+    """
+    from spiders_for_all_spark.operators.cleaning import (
+        _maybe_spill,
+        bigram_structs,
+    )
+
+    sb = corpus.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.explode(bigram_structs(F.col(text_col))).alias("b"),
+    ).select("_id", "b.w1", "b.w2")
+    # the scoring stream feeds five consumers (score rows + the raw
+    # model's c12/c1/vocab) — spill once when a scratch dir is given
+    sb = _maybe_spill(sb, scratch_dir, "dsir-bigrams")
+    tb = target.select(
+        F.explode(bigram_structs(F.col(text_col))).alias("b")
+    ).select("b.w1", "b.w2")
+    tb = _maybe_spill(tb, scratch_dir, "dsir-target-bigrams")
+
+    ct12 = tb.groupBy("w1", "w2").agg(F.count("*").alias("t12"))
+    ct1 = tb.groupBy("w1").agg(F.count("*").alias("t1"))
+    vt = tb.agg(F.countDistinct("w1").alias("vt"))
+    cr12 = sb.groupBy("w1", "w2").agg(F.count("*").alias("r12"))
+    cr1 = sb.groupBy("w1").agg(F.count("*").alias("r1"))
+    vr = sb.agg(F.countDistinct("w1").alias("vr"))
+
+    scored = (
+        sb.join(ct12, ["w1", "w2"], "left")
+        .join(ct1, "w1", "left")
+        .join(cr12, ["w1", "w2"])
+        .join(cr1, "w1")
+        .crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(vr))
+    )
+    lr = F.log2(
+        (F.coalesce(F.col("t12"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("t1"), F.lit(0)) + F.col("vt")).cast("double")
+    ) - F.log2(
+        (F.col("r12") + 1).cast("double")
+        / (F.col("r1") + F.col("vr")).cast("double")
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lr), 4).alias("logratio_per_token"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def stratified_sample(
     corpus: DataFrame,
     k: int,

@@ -225,3 +225,65 @@ def schedule_round(
         .filter(F.col("sched_rank") <= F.col("budget"))
         .drop("budget")
     )
+
+
+def apportion_budget(
+    frontier: DataFrame,
+    total: int,
+    key_col: str = "host",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer crawl
+    budget across hosts: each host gets ``floor(weight * total / W)``
+    slots, then the ``total - sum(floors)`` leftover slots go one each to
+    the hosts with the largest remainders (ties -> key ascending).
+    Weight defaults to the host's pending-URL count; pass ``weight_col``
+    to apportion on any integer signal (link-rank mass, past success
+    counts).  Returns ``(key, n_pending, budget)`` with
+    ``sum(budget) == total`` exactly and every host within 1 slot of its
+    exact proportional share — the fleet-wide fetch-slot split a crawl
+    coordinator hands to per-host politeness queues each round (alias
+    ``budget`` to ``budget_per_round`` to feed schedule_round's
+    ``host_budget`` input).
+
+    Everything is INTEGER arithmetic end-to-end ((w * total) div W /
+    mod W — never a float share), so the allocation is bit-identical on
+    any engine or partition layout, the same invariant the A1 metrics
+    and mixture_resample keep.  Plan shape: ONE partial-aggregatable
+    groupBy over the frontier; every window after it runs over #hosts
+    rows (thousands), not frontier rows — at a 10^10-row frontier the
+    apportionment itself costs one count-shuffle.  The reference has no
+    cross-host budget at all (one in-flight request globally,
+    core/spider.py:251-263).
+    """
+    if weight_col is None:
+        counts = frontier.groupBy(key_col).agg(
+            F.count("*").alias("n_pending")
+        )
+    else:
+        counts = frontier.groupBy(key_col).agg(
+            F.sum(weight_col).cast("bigint").alias("n_pending")
+        )
+    w_all = Window.partitionBy()
+    q = (
+        counts.withColumn("_W", F.sum("n_pending").over(w_all))
+        .withColumn("_base", F.expr(f"(n_pending * {int(total)}) div _W"))
+        .withColumn("_rem", F.expr(f"(n_pending * {int(total)}) % _W"))
+    )
+    q = q.withColumn("_K", F.lit(int(total)) - F.sum("_base").over(w_all))
+    rn = F.row_number().over(
+        Window.partitionBy().orderBy(F.desc("_rem"), F.col(key_col))
+    )
+    return (
+        q.withColumn("_rn", rn)
+        .select(
+            key_col,
+            "n_pending",
+            (
+                F.col("_base")
+                + F.when(F.col("_rn") <= F.col("_K"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("budget"),
+        )
+    )

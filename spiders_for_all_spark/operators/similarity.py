@@ -125,11 +125,16 @@ def ivf_assign(
     emb: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
+    with_cos: bool = False,
 ) -> DataFrame:
     """Add the IVF list id: nearest centroid by cosine (ties -> lowest
     cid).  Pure Catalyst — one (cos, -cid) struct per centroid, array_max
     picks the argmax; no shuffle, no UDF.  Centroid count is small (the
     classic IVF regime: k ~ sqrt(n) lists, each a broadcast-size literal).
+
+    ``with_cos=True`` also emits ``centroid_cos`` (the rounded cosine to
+    the assigned centroid) — the prototypicality signal SemDeDup-style
+    pruning ranks on.
     """
     scored = F.array(
         *[
@@ -143,7 +148,10 @@ def ivf_assign(
         ]
     )
     best = F.array_max(scored)
-    return emb.withColumn("cid", (-best.getField("ncid")).cast("int"))
+    out = emb.withColumn("cid", (-best.getField("ncid")).cast("int"))
+    if with_cos:
+        out = out.withColumn("centroid_cos", best.getField("cos"))
+    return out
 
 
 def ivf_probe_lists(
@@ -220,6 +228,55 @@ def kmeans_fit(
             break
         centroids = new
     return centroids
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then inside each
+    cluster drop every vector whose cosine to a LOWER-id cluster peer
+    reaches ``threshold`` — the lowest id of each semantic-duplicate
+    group survives.  Returns one row per input vector:
+    ``(id, cid, centroid_cos, kept)``; ``centroid_cos`` is the
+    prototypicality signal (cosine to the assigned centroid) that
+    SSL-prototype pruning (Sorscher et al. 2022) ranks on, exposed so a
+    caller can chain a "drop the most prototypical p%" filter without a
+    second assignment pass.
+
+    Scale shape: assignment is the zero-shuffle :func:`ivf_assign` map;
+    the only shuffle carries ``(cid, id, vec)`` — text never rides it.
+    The in-cluster pair scan is the published algorithm's O(|cluster|²),
+    bounded by CHOOSING k: at n vectors pick k ≈ n / c so clusters hold
+    ~c ≈ 10³ members (SemDeDup uses k = 11k clusters for 1.3e8 docs) —
+    the per-cluster work is then a constant ~c²/2 cosines and the total
+    is O(n·c), linear in the corpus.  The no-duplicate verdict joins
+    back on id only.  The reference has no embedding pipeline at all
+    (it stores raw scraped rows, core/spider.py:196-236).
+    """
+    a = ivf_assign(emb, centroids, vec_col, with_cos=True).select(
+        F.col(id_col), F.col(vec_col), "cid", "centroid_cos"
+    )
+    lo = a.select(F.col(id_col).alias("_lo"), F.col(vec_col).alias("_lv"), "cid")
+    hi = a.select(F.col(id_col).alias("_hi"), F.col(vec_col).alias("_hv"), "cid")
+    dropped = (
+        lo.join(hi, "cid")
+        .filter(F.col("_lo") < F.col("_hi"))
+        .filter(cosine_rounded(F.col("_lv"), F.col("_hv")) >= threshold)
+        .select(F.col("_hi").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return a.join(dropped, id_col, "left").select(
+        id_col,
+        "cid",
+        "centroid_cos",
+        F.col("_dup").isNull().alias("kept"),
+    )
 
 
 def materialize_ivf_lists(

@@ -2795,6 +2795,131 @@ def s3_spider_seed_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 widening: SemDeDup semantic dedup, DSIR importance scoring,
+# integer largest-remainder crawl-budget apportionment.
+
+
+@_register(
+    "dedup_semantic_semdedup",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                      {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS ccos
+               FROM embeddings e, c),
+    assign AS (SELECT vec_id, embedding, cid, ccos,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cid) AS rn
+               FROM scored),
+    a AS (SELECT vec_id, embedding, cid, ccos FROM assign WHERE rn = 1),
+    dropped AS (SELECT DISTINCT hi.vec_id
+                FROM a lo JOIN a hi
+                  ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+                WHERE {_COS_SQL.format(a='lo.embedding', b='hi.embedding')}
+                      >= 0.4)
+    SELECT a.vec_id, CAST(a.cid AS INT) AS cid, a.ccos AS centroid_cos,
+           d.vec_id IS NULL AS kept
+    FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.py semantic_dedup): assign each
+    embedding to its nearest of 4 fixed centroids (deterministic: the 4
+    lowest-id vectors, like ann_ivf_topk), drop any vector with a
+    lower-id cluster peer at cosine >= 0.4, and expose centroid_cos as
+    the prototypicality-pruning signal.  kmeans_fit trains real
+    centroids for the non-fixed path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return SIM.semantic_dedup(emb, cents, threshold=0.4)
+
+
+@_register(
+    "curation_dsir_scores",
+    """
+    WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                         CAST(doc_id AS BIGINT) % 7 = 0 AS is_target,
+                         {norm} AS norm
+                  FROM documents),
+    w AS (SELECT doc_id, is_target, string_split(norm, ' ') AS w FROM docs),
+    bg AS (SELECT doc_id, is_target, u.w1 AS w1, u.w2 AS w2
+           FROM (SELECT doc_id, is_target,
+                        unnest([{'w1': w[i+1], 'w2': w[i+2]}
+                                for i in range(greatest(len(w)-1, 0))]) AS u
+                 FROM w)),
+    tb AS (SELECT w1, w2 FROM bg WHERE is_target),
+    sb AS (SELECT doc_id, w1, w2 FROM bg WHERE NOT is_target),
+    ct12 AS (SELECT w1, w2, count(*) AS t12 FROM tb GROUP BY w1, w2),
+    ct1 AS (SELECT w1, count(*) AS t1 FROM tb GROUP BY w1),
+    vt AS (SELECT count(DISTINCT w1) AS vt FROM tb),
+    cr12 AS (SELECT w1, w2, count(*) AS r12 FROM sb GROUP BY w1, w2),
+    cr1 AS (SELECT w1, count(*) AS r1 FROM sb GROUP BY w1),
+    vr AS (SELECT count(DISTINCT w1) AS vr FROM sb)
+    SELECT sb.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(log2(CAST(coalesce(ct12.t12, 0) + 1 AS DOUBLE)
+                          / (coalesce(ct1.t1, 0) + vt.vt))
+                     - log2(CAST(cr12.r12 + 1 AS DOUBLE)
+                            / (cr1.r1 + vr.vr))),
+                 4) AS logratio_per_token
+    FROM sb
+    LEFT JOIN ct12 ON ct12.w1 = sb.w1 AND ct12.w2 = sb.w2
+    LEFT JOIN ct1 ON ct1.w1 = sb.w1
+    JOIN cr12 ON cr12.w1 = sb.w1 AND cr12.w2 = sb.w2
+    JOIN cr1 ON cr1.w1 = sb.w1
+    CROSS JOIN vt CROSS JOIN vr
+    GROUP BY sb.doc_id
+    """.replace("{norm}", _NORM_SQL),
+)
+def curation_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (curation.py dsir_scores): every doc with
+    doc_id % 7 == 0 plays the target corpus; the rest are the raw pool,
+    scored by mean bigram log2(p_target/p_raw) under two Laplace-smoothed
+    bigram models.  Higher = more target-like; chain top-k / threshold /
+    seeded-Gumbel selection downstream."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    is_t = F.col("doc_id").cast("bigint") % 7 == 0
+    return CU.dsir_scores(d.filter(~is_t), target=d.filter(is_t))
+
+
+@_register(
+    "crawl_budget_apportion",
+    f"""
+    WITH f AS ({_FRONTIER_SQL}),
+    w AS (SELECT host, count(*) AS n_pending FROM f GROUP BY host),
+    t AS (SELECT sum(n_pending) AS W FROM w),
+    q AS (SELECT host, n_pending,
+                 (n_pending * 1000) // W AS base,
+                 (n_pending * 1000) % W AS rem
+          FROM w, t),
+    k AS (SELECT 1000 - sum(base) AS K FROM q),
+    r AS (SELECT host, n_pending, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, host) AS rn
+          FROM q)
+    SELECT r.host, r.n_pending,
+           CAST(r.base + CASE WHEN r.rn <= k.K THEN 1 ELSE 0 END
+                AS BIGINT) AS budget
+    FROM r, k
+    """,
+)
+def crawl_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer largest-remainder apportionment of a 1000-slot fetch
+    budget across the derived frontier's hosts
+    (politeness.py apportion_budget) — the coordinator-side split whose
+    output feeds schedule_round's host_budget.  Pure integer arithmetic
+    both sides (div/mod, the A1 invariant); sum(budget) == 1000
+    exactly."""
+    from spiders_for_all_spark.operators.politeness import apportion_budget
+
+    return apportion_budget(_frontier(spark, sf_dir), 1000)
+
+
 # ===========================================================================
 # Driver-gate registration order.
 #

@@ -124,3 +124,46 @@ def test_mixture_resample_null_text_group_dropped(spark):
     )
     kept = mixture_resample(df, {"en": 1.0}).select("doc_id").collect()
     assert {r["doc_id"] for r in kept} == {"a"}
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    from spiders_for_all_spark.operators.curation import dsir_scores
+
+    target = spark.createDataFrame(
+        [
+            ("t1", "spark shuffle partitions spill to disk"),
+            ("t2", "spark shuffle exchange hash partitions"),
+            ("t3", "broadcast join avoids the shuffle exchange"),
+        ],
+        "doc_id string, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            ("r1", "spark shuffle partitions spill under memory pressure"),
+            ("r2", "quick brown fox jumps over the lazy sleeping dog"),
+            ("r3", "x"),  # <2 words: no bigrams, no score row
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in dsir_scores(raw, target).collect()}
+    assert set(out) == {"r1", "r2"}
+    assert out["r1"]["logratio_per_token"] > out["r2"]["logratio_per_token"]
+    assert out["r1"]["n_bigrams"] == 6
+
+
+def test_dsir_scores_scratch_spill_identical(spark, tmp_path):
+    from spiders_for_all_spark.operators.curation import dsir_scores
+
+    target = spark.createDataFrame(
+        [("t1", "alpha beta gamma delta alpha beta")],
+        "doc_id string, text string",
+    )
+    raw = spark.createDataFrame(
+        [("r1", "alpha beta gamma"), ("r2", "epsilon zeta eta")],
+        "doc_id string, text string",
+    )
+    a = sorted(map(tuple, dsir_scores(raw, target).collect()))
+    b = sorted(map(tuple, dsir_scores(
+        raw, target, scratch_dir=str(tmp_path / "dsir")
+    ).collect()))
+    assert a == b

@@ -357,3 +357,45 @@ def test_minhash_pairs_scratch_spill_identical(spark, docs, tmp_path):
         r["doc_id"]: r["component"]
         for r in TD.minhash_dup_clusters(docs).collect()
     }
+
+
+@pytest.fixture(scope="module")
+def sem_emb(spark):
+    """Two orthogonal clusters, each with an in-cluster near-dup pair."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # cluster 0 keeper
+        (1, [0.99, 0.01, 0.0, 0.0]), # near-dup of 0 -> dropped
+        (2, [0.6, 0.1, 0.78, 0.0]),  # cluster 0, below threshold -> kept
+        (3, [0.0, 1.0, 0.0, 0.0]),   # cluster 1 keeper
+        (4, [0.01, 0.99, 0.0, 0.0]), # near-dup of 3 -> dropped
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    ).cache()
+
+
+def test_semantic_dedup_drops_in_cluster_near_dups(sem_emb):
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {r["vec_id"]: r for r in SIM.semantic_dedup(
+        sem_emb, cents, threshold=0.9
+    ).collect()}
+    assert len(out) == 5  # verdict row for every input vector
+    assert {i: out[i]["kept"] for i in range(5)} == {
+        0: True, 1: False, 2: True, 3: True, 4: False
+    }
+    assert {i: out[i]["cid"] for i in range(5)} == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+    # prototypicality signal: exact centroid match scores 1.0, the far
+    # in-cluster member scores lower
+    assert out[0]["centroid_cos"] == 1.0
+    assert out[2]["centroid_cos"] < out[1]["centroid_cos"]
+
+
+def test_semantic_dedup_lowest_id_survives_chain(spark):
+    """A transitive chain a~b~c in one cluster keeps ONLY the lowest id
+    (everyone with a lower-id near peer drops, matching the oracle)."""
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r["vec_id"]: r["kept"] for r in SIM.semantic_dedup(
+        emb, [[1.0, 0.0, 0.0, 0.0]], threshold=0.9
+    ).collect()}
+    assert out == {0: True, 1: False, 2: False, 3: False}

@@ -357,6 +357,9 @@ def main() -> None:
         "export_shard_manifest",
         "windowed_event_counts",
         "sessionize_events",
+        "dedup_semantic_semdedup",
+        "curation_dsir_scores",
+        "crawl_budget_apportion",
     ]
     # per-workload AQE config: the crawl round wants NO post-shuffle
     # coalescing (its 1M-row window stages collapse to ~3 partitions under

@@ -454,6 +454,10 @@ def cmd_curate(ns: argparse.Namespace) -> int:
         lm_train_df=(
             spark.read.parquet(ns.lm_train) if ns.lm_train else None
         ),
+        dsir_target_df=(
+            spark.read.parquet(ns.dsir_target) if ns.dsir_target else None
+        ),
+        min_dsir_logratio=ns.min_dsir_logratio,
     )
     if ns.split:
         from spiders_for_all_spark.operators.export import split_assign
@@ -632,6 +636,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="train the LM band's bigram counts on this "
                          "held-out corpus (doc_id, text) instead of "
                          "self-scoring")
+    cu.add_argument("--dsir-target", default=None, metavar="PARQUET",
+                    help="DSIR target corpus (doc_id, text): score each "
+                         "doc's bigrams by log2(p_target/p_raw)")
+    cu.add_argument("--min-dsir-logratio", type=float, default=None,
+                    help="drop docs below this DSIR logratio/token "
+                         "(requires --dsir-target)")
     cu.add_argument("--pack-seq-len", type=int, default=None, metavar="L",
                     help="also write the L-token sequence-packing manifest "
                          "next to --out (concatenate-and-chunk)")

@@ -118,12 +118,15 @@ def curate_corpus(
     min_lm_bits: float | None = None,
     max_lm_bits: float | None = None,
     lm_train_df: DataFrame | None = None,
+    dsir_target_df: DataFrame | None = None,
+    min_dsir_logratio: float | None = None,
 ) -> DataFrame:
     """The corpus-freeze composition every pretraining pipeline runs:
     domain blocklist -> repetition filter -> near-dedup (keep cluster
     representatives) -> passage-level exact dedup -> sliding-window
     exact-substring scrub -> eval-set decontamination -> quality floor ->
-    LM-perplexity band -> PII scrub -> optional stratified sample.
+    LM-perplexity band -> DSIR importance floor -> PII scrub -> optional
+    stratified sample.
 
     Each stage is one of this module's / textdedup's / cleaning's
     oracle-checked operators; the composition stays lazy (one DataFrame
@@ -224,6 +227,19 @@ def curate_corpus(
         if max_lm_bits is not None:
             out = out.filter(F.col("bits_per_token") <= max_lm_bits)
         out = out.drop("_sid", "n_bigrams", "bits_per_token")
+    if dsir_target_df is not None and min_dsir_logratio is not None:
+        # DSIR floor: keep docs whose bigrams look at least this much
+        # more target-like than raw-pool-like.  Inner join also drops
+        # docs with no bigrams, like the LM band.
+        scores = dsir_scores(
+            out, dsir_target_df, text_col, id_col
+        ).withColumnRenamed(id_col, "_sid")
+        out = (
+            out.withColumn("_sid", F.col(id_col).cast("string"))
+            .join(scores, on="_sid")
+            .filter(F.col("logratio_per_token") >= min_dsir_logratio)
+            .drop("_sid", "n_bigrams", "logratio_per_token")
+        )
     if scrub_pii:
         out = out.withColumn(text_col, pii_scrub(F.col(text_col)))
     if sample_k is not None:

@@ -428,3 +428,32 @@ def test_curate_lm_train_heldout_band(spark, tmp_path, capsys):
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s1["out_docs"] > 0
     assert s2["out_docs"] == 0
+
+
+def test_curate_dsir_floor_binds(spark, tmp_path, capsys):
+    """--dsir-target + --min-dsir-logratio gate the freeze on the DSIR
+    score join: a floor below every score keeps the scorable corpus, a
+    floor above every score drops it all.  (Score DIRECTION — target-like
+    docs ranking higher — is pinned by the dsir_scores unit test; with a
+    tiny unrelated target the Laplace floor 1/V_target is deliberately
+    mild, so absolute signs are not the thing to assert here.)"""
+    words = " ".join(f"z{c}" for c in "abcdefghijklmnopqrstuvwx")
+    target = spark.createDataFrame(
+        [("t1", words), ("t2", words)], "doc_id string, text string"
+    )
+    tp = str(tmp_path / "dsir_target_pq")
+    target.write.parquet(tp)
+    out1 = str(tmp_path / "o1")
+    out2 = str(tmp_path / "o2")
+    assert main([
+        "curate", "--sf-dir", SF_DIR, "--dsir-target", tp,
+        "--min-dsir-logratio", "-1000", "--out", out1,
+    ]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main([
+        "curate", "--sf-dir", SF_DIR, "--dsir-target", tp,
+        "--min-dsir-logratio", "1000", "--out", out2,
+    ]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["out_docs"] > 0
+    assert s2["out_docs"] == 0

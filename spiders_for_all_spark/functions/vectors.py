@@ -30,6 +30,24 @@ def cosine_rounded(a: Column, b: Column, digits: int = 6) -> Column:
     return F.round(cosine(a, b), digits)
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm copy of the vector (double elements).
+
+    Pre-normalizing each row ONCE turns every downstream pairwise cosine
+    into a single dot product (one zip_with+aggregate instead of three)
+    — the classic hoist for pairwise-similarity stages, ~3x on the
+    HOF-interpreted pair loop.  The norm is let-bound so it is computed
+    once per row, not once per element.  Engines comparing normalized
+    dots must BOTH use this form (round-6 absorbs summation-order ulps,
+    not the normalize-vs-ratio algebraic difference).
+    """
+    from spiders_for_all_spark.functions.text import let
+
+    return let(
+        norm(a), lambda n: F.transform(a, lambda x: x.cast("double") / n)
+    )
+
+
 def plane_coefficients(plane: int, dim: int) -> list[float]:
     """Deterministic ±1 hyperplane entries from md5("p-d") — reproducible in
     any engine with md5, which is what makes LSH bucketing oracle-checkable.

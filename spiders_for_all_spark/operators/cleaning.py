@@ -564,6 +564,115 @@ def repetition_signals(
     )
 
 
+# the Gopher/MassiveWeb required-word list (Rae et al. 2021 table A1)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher/MassiveWeb quality-rule signals (Rae et al.
+    2021, arXiv:2112.11446 §A1.1) plus the conjunctive ``gopher_keep``
+    verdict: word-count band, mean-word-length band, symbol-to-word
+    ratio (# and …), bullet-started and ellipsis-ended line fractions,
+    alphabetic-word fraction, and the >=2-required-stopwords rule.
+
+    All pure Catalyst expressions over two let-bound arrays (the
+    normalized word array and the raw line array) — zero shuffle, zero
+    UDF, O(doc length) per row; the verdict compares the ROUNDED metric
+    columns so the keep flag is bit-identical to any engine recomputing
+    it from the emitted metrics.  Thresholds are the paper's defaults,
+    parameterized.  Filters here prune BEFORE any dedup shuffle in
+    curate_corpus-style compositions (cheap-first ordering).
+    """
+    t = F.col(text_col)
+    n_symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ) + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+
+    def from_words(w: Column) -> Column:
+        n = F.size(w)
+        safe_n = F.greatest(n, F.lit(1)).cast("double")
+        total_len = F.aggregate(
+            w, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        stop_hits = None
+        for s in GOPHER_STOPWORDS:
+            hit = F.array_contains(w, s).cast("int")
+            stop_hits = hit if stop_hits is None else stop_hits + hit
+        return F.struct(
+            n.alias("n_words"),
+            F.round(total_len / safe_n, 4).alias("mean_word_len"),
+            F.round(n_symbols / safe_n, 4).alias("symbol_word_ratio"),
+            F.round(
+                F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / safe_n, 4
+            ).alias("alpha_word_frac"),
+            stop_hits.alias("stop_hits"),
+        )
+
+    def from_lines(ls: Column) -> Column:
+        safe_n = F.greatest(F.size(ls), F.lit(1)).cast("double")
+        bullet = F.filter(
+            ls,
+            lambda x: let(
+                F.ltrim(x),
+                lambda l: l.startswith("•")
+                | l.startswith("-")
+                | l.startswith("*"),
+            ),
+        )
+        ellipsis = F.filter(
+            ls,
+            lambda x: let(
+                F.rtrim(x),
+                lambda l: l.endswith("...") | l.endswith("…"),
+            ),
+        )
+        return F.struct(
+            F.round(F.size(bullet) / safe_n, 4).alias("bullet_line_frac"),
+            F.round(F.size(ellipsis) / safe_n, 4).alias("ellipsis_line_frac"),
+        )
+
+    base = df.select(
+        F.col(id_col),
+        let(words(t), from_words).alias("_w"),
+        let(F.split(t, "\n"), from_lines).alias("_l"),
+    )
+    g = lambda f: F.col(f"_w.{f}")  # noqa: E731
+    ln = lambda f: F.col(f"_l.{f}")  # noqa: E731
+    keep = (
+        g("n_words").between(min_words, max_words)
+        & g("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (g("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (ln("bullet_line_frac") <= max_bullet_line_frac)
+        & (ln("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (g("alpha_word_frac") >= min_alpha_word_frac)
+        & (g("stop_hits") >= min_stop_hits)
+    )
+    return base.select(
+        id_col,
+        g("n_words").alias("n_words"),
+        g("mean_word_len").alias("mean_word_len"),
+        g("symbol_word_ratio").alias("symbol_word_ratio"),
+        ln("bullet_line_frac").alias("bullet_line_frac"),
+        ln("ellipsis_line_frac").alias("ellipsis_line_frac"),
+        g("alpha_word_frac").alias("alpha_word_frac"),
+        g("stop_hits").alias("stop_hits"),
+        keep.alias("gopher_keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Domain-blocklist filtering
 

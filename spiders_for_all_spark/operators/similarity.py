@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spiders_for_all_spark.functions.vectors import cosine_rounded, lsh_bucket
+from spiders_for_all_spark.functions.vectors import (
+    cosine_rounded,
+    dot,
+    l2_normalize,
+    lsh_bucket,
+)
 
 
 def brute_force_topk(
@@ -261,17 +266,98 @@ def semantic_dedup(
     a = ivf_assign(emb, centroids, vec_col, with_cos=True).select(
         F.col(id_col), F.col(vec_col), "cid", "centroid_cos"
     )
-    lo = a.select(F.col(id_col).alias("_lo"), F.col(vec_col).alias("_lv"), "cid")
-    hi = a.select(F.col(id_col).alias("_hi"), F.col(vec_col).alias("_hv"), "cid")
+    # normalize once per row so each pair costs ONE dot product (the
+    # pair loop runs HOF-interpreted: 3 dots per pair was the hot spot)
+    lo = a.select(
+        F.col(id_col).alias("_lo"), l2_normalize(F.col(vec_col)).alias("_lv"), "cid"
+    )
+    hi = a.select(
+        F.col(id_col).alias("_hi"), l2_normalize(F.col(vec_col)).alias("_hv"), "cid"
+    )
     dropped = (
         lo.join(hi, "cid")
         .filter(F.col("_lo") < F.col("_hi"))
-        .filter(cosine_rounded(F.col("_lv"), F.col("_hv")) >= threshold)
+        .filter(F.round(dot(F.col("_lv"), F.col("_hv")), 6) >= threshold)
         .select(F.col("_hi").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
     return a.join(dropped, id_col, "left").select(
+        id_col,
+        "cid",
+        "centroid_cos",
+        F.col("_dup").isNull().alias("kept"),
+    )
+
+
+def semantic_dedup_incremental(
+    index: DataFrame,
+    batch: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Batch-vs-corpus semantic-dedup probe — the :func:`semantic_dedup`
+    analogue of the incremental MinHash index (textdedup
+    minhash_index_probe): a growing corpus is NEVER re-embedded or
+    re-compared to dedup a new batch.  ``index`` is the committed
+    corpus with its assignment (``(id, cid, vec)`` — ivf_assign output,
+    or a cid-partitioned :func:`materialize_ivf_lists` read, where the
+    cid semi-join below becomes partition pruning).  A batch vector
+    drops if ANY corpus member of its cluster sits at cosine >=
+    ``threshold`` (committed corpus always wins, regardless of id), or
+    if a LOWER-id batch peer does (the one-shot rule).  Returns one
+    verdict row per batch vector: ``(id, cid, centroid_cos, kept)``.
+
+    Scale shape: the corpus side is a streamed narrow scan semi-joined
+    against a BROADCAST of the batch's distinct cluster ids — the
+    corpus is never shuffled, mirroring the engine rule that no round
+    job shuffles the full seen set.  Only O(batch × cluster-occupancy)
+    rows enter the cosine pair work.  Set ``broadcast_keys=False`` for
+    very large batches (shuffle semi-join, still O(batch + hits)).
+    """
+    b = ivf_assign(batch, centroids, vec_col, with_cos=True).select(
+        F.col(id_col), F.col(vec_col), "cid", "centroid_cos"
+    )
+    keys = b.select("cid").distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    cand = index.select(F.col(id_col), F.col(vec_col), "cid").join(
+        keys, "cid"
+    )
+    corpus_hit = (
+        b.select(
+            F.col(id_col).alias("_bi"),
+            l2_normalize(F.col(vec_col)).alias("_bv"),
+            "cid",
+        )
+        .join(
+            cand.select(l2_normalize(F.col(vec_col)).alias("_ov"), "cid"),
+            "cid",
+        )
+        .filter(F.round(dot(F.col("_bv"), F.col("_ov")), 6) >= threshold)
+        .select(F.col("_bi").alias(id_col))
+        .distinct()
+    )
+    lo = b.select(
+        F.col(id_col).alias("_lo"), l2_normalize(F.col(vec_col)).alias("_lv"), "cid"
+    )
+    hi = b.select(
+        F.col(id_col).alias("_hi"), l2_normalize(F.col(vec_col)).alias("_hv"), "cid"
+    )
+    batch_hit = (
+        lo.join(hi, "cid")
+        .filter(F.col("_lo") < F.col("_hi"))
+        .filter(F.round(dot(F.col("_lv"), F.col("_hv")), 6) >= threshold)
+        .select(F.col("_hi").alias(id_col))
+        .distinct()
+    )
+    dropped = corpus_hit.union(batch_hit).distinct().withColumn(
+        "_dup", F.lit(True)
+    )
+    return b.join(dropped, id_col, "left").select(
         id_col,
         "cid",
         "centroid_cos",

@@ -2799,6 +2799,13 @@ def s3_spider_seed_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-5 widening: SemDeDup semantic dedup, DSIR importance scoring,
 # integer largest-remainder crawl-budget apportionment.
 
+# unit-norm copy (DuckDB twin of functions/vectors.py l2_normalize):
+# pairwise cosine = ONE dot of pre-normalized vectors, same form both sides
+_NORMV_SQL = (
+    "list_transform({a}::DOUBLE[], x -> x / "
+    "sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])))"
+)
+
 
 @_register(
     "dedup_semantic_semdedup",
@@ -2812,12 +2819,13 @@ def s3_spider_seed_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
                       row_number() OVER (PARTITION BY vec_id
                                          ORDER BY ccos DESC, cid) AS rn
                FROM scored),
-    a AS (SELECT vec_id, embedding, cid, ccos FROM assign WHERE rn = 1),
+    a AS (SELECT vec_id, cid, ccos,
+                 {_NORMV_SQL.format(a='embedding')} AS nv
+          FROM assign WHERE rn = 1),
     dropped AS (SELECT DISTINCT hi.vec_id
                 FROM a lo JOIN a hi
                   ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
-                WHERE {_COS_SQL.format(a='lo.embedding', b='hi.embedding')}
-                      >= 0.4)
+                WHERE round(list_dot_product(lo.nv, hi.nv), 6) >= 0.4)
     SELECT a.vec_id, CAST(a.cid AS INT) AS cid, a.ccos AS centroid_cos,
            d.vec_id IS NULL AS kept
     FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
@@ -2918,6 +2926,120 @@ def crawl_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spiders_for_all_spark.operators.politeness import apportion_budget
 
     return apportion_budget(_frontier(spark, sf_dir), 1000)
+
+
+@_register(
+    "dedup_semantic_incremental",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                      {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS ccos
+               FROM embeddings e, c),
+    assign AS (SELECT vec_id, embedding, cid, ccos,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cid) AS rn
+               FROM scored),
+    a AS (SELECT vec_id, cid, ccos,
+                 {_NORMV_SQL.format(a='embedding')} AS nv
+          FROM assign WHERE rn = 1),
+    corpus AS (SELECT * FROM a WHERE vec_id % 5 <> 0),
+    batch AS (SELECT * FROM a WHERE vec_id % 5 = 0),
+    corpus_hit AS (SELECT DISTINCT b.vec_id
+                   FROM batch b JOIN corpus o ON b.cid = o.cid
+                   WHERE round(list_dot_product(b.nv, o.nv), 6) >= 0.4),
+    batch_hit AS (SELECT DISTINCT hi.vec_id
+                  FROM batch lo JOIN batch hi
+                    ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+                  WHERE round(list_dot_product(lo.nv, hi.nv), 6) >= 0.4),
+    dropped AS (SELECT vec_id FROM corpus_hit
+                UNION SELECT vec_id FROM batch_hit)
+    SELECT b.vec_id, CAST(b.cid AS INT) AS cid, b.ccos AS centroid_cos,
+           d.vec_id IS NULL AS kept
+    FROM batch b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+    """,
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup probe (similarity.py
+    semantic_dedup_incremental): vectors with vec_id % 5 == 0 arrive as
+    the new batch against a committed, already-assigned corpus (the
+    rest); the corpus is only scanned (broadcast cid semi-join), never
+    re-scored.  The oracle simulates the same two-phase construction:
+    corpus hits win regardless of id, batch-internal hits use the
+    lower-id rule."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    index = SIM.ivf_assign(corpus, cents)
+    return SIM.semantic_dedup_incremental(index, batch, cents, threshold=0.4)
+
+
+_GOPHER_STOP_HITS_SQL = " + ".join(
+    f"(CASE WHEN list_contains(w, '{s}') THEN 1 ELSE 0 END)"
+    for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@_register(
+    "clean_gopher_rules",
+    f"""
+    WITH base AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+             {_WORDS_SQL} AS w,
+             string_split(text, chr(10)) AS ls
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_words,
+             round(list_sum(list_transform(w, x -> length(x)))
+                   / CAST(greatest(len(w), 1) AS DOUBLE), 4)
+                 AS mean_word_len,
+             round(((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '…', ''))))
+                   / CAST(greatest(len(w), 1) AS DOUBLE), 4)
+                 AS symbol_word_ratio,
+             round(len(list_filter(ls, x ->
+                       starts_with(ltrim(x), '•')
+                       OR starts_with(ltrim(x), '-')
+                       OR starts_with(ltrim(x), '*')))
+                   / CAST(greatest(len(ls), 1) AS DOUBLE), 4)
+                 AS bullet_line_frac,
+             round(len(list_filter(ls, x ->
+                       ends_with(rtrim(x), '...')
+                       OR ends_with(rtrim(x), '…')))
+                   / CAST(greatest(len(ls), 1) AS DOUBLE), 4)
+                 AS ellipsis_line_frac,
+             round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                   / CAST(greatest(len(w), 1) AS DOUBLE), 4)
+                 AS alpha_word_frac,
+             CAST({_GOPHER_STOP_HITS_SQL} AS INT) AS stop_hits
+      FROM base)
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3 AND 10
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND stop_hits >= 2) AS gopher_keep
+    FROM m
+    """,
+)
+def clean_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb document-quality rules (cleaning.py
+    gopher_signals): seven per-doc metrics + the conjunctive keep flag at
+    the paper's default thresholds, all expression-side (zero shuffle)."""
+    from spiders_for_all_spark.operators.cleaning import gopher_signals
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return gopher_signals(d)
 
 
 # ===========================================================================

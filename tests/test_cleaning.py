@@ -466,3 +466,59 @@ def test_substring_and_lm_scratch_spill_identical(spark, tmp_path):
     assert key_spans(lazy2) == key_spans(
         CL.substring_spans(corpus.filter("doc_id <= 2"), k=4)
     )
+
+
+def test_gopher_signals_rules_and_metrics(spark):
+    from spiders_for_all_spark.operators.cleaning import gopher_signals
+
+    filler = " ".join(
+        "the data and model have text with tokens of that kind".split()
+    )
+    good = " ".join([filler] * 6)  # 66 words, stopword-rich, all alpha
+    docs = [
+        ("good", good),
+        ("short", "the and of that have with be to"),  # 8 words < 50
+        ("bullets", "\n".join("• " + filler for _ in range(8))),
+        ("symbols", good + " " + "#" * 40),
+        ("numbers", " ".join(["123"] * 60) + " the and"),
+        ("ellipsis", "\n".join(filler + " ..." for _ in range(8))),
+        ("nostop", " ".join(["alpha beta gamma delta epsilon"] * 12)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in gopher_signals(df).collect()}
+
+    assert out["good"]["gopher_keep"] is True
+    assert out["good"]["n_words"] == 66
+    assert out["good"]["stop_hits"] >= 5
+    assert out["good"]["alpha_word_frac"] == 1.0
+    assert out["good"]["bullet_line_frac"] == 0.0
+
+    assert out["short"]["gopher_keep"] is False  # word-count floor
+
+    assert out["bullets"]["bullet_line_frac"] == 1.0
+    assert out["bullets"]["gopher_keep"] is False
+
+    assert out["symbols"]["symbol_word_ratio"] > 0.1
+    assert out["symbols"]["gopher_keep"] is False
+
+    assert out["numbers"]["alpha_word_frac"] < 0.8
+    assert out["numbers"]["gopher_keep"] is False
+
+    assert out["ellipsis"]["ellipsis_line_frac"] == 1.0
+    assert out["ellipsis"]["gopher_keep"] is False
+
+    assert out["nostop"]["stop_hits"] == 0
+    assert out["nostop"]["gopher_keep"] is False
+
+
+def test_gopher_signals_thresholds_parameterized(spark):
+    from spiders_for_all_spark.operators.cleaning import gopher_signals
+
+    df = spark.createDataFrame(
+        [("d", "the model and data have text with that be of")],
+        "doc_id string, text string",
+    )
+    strict = gopher_signals(df).first()
+    relaxed = gopher_signals(df, min_words=5).first()
+    assert strict["gopher_keep"] is False  # 10 words < default 50
+    assert relaxed["gopher_keep"] is True

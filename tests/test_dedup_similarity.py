@@ -399,3 +399,43 @@ def test_semantic_dedup_lowest_id_survives_chain(spark):
         emb, [[1.0, 0.0, 0.0, 0.0]], threshold=0.9
     ).collect()}
     assert out == {0: True, 1: False, 2: False, 3: False}
+
+
+def test_semantic_dedup_incremental_corpus_wins(spark):
+    """A batch vector near a committed corpus vector drops even when its
+    id is LOWER (the corpus was committed first); batch-internal pairs
+    use the lower-id rule; novel vectors survive; the corpus is never
+    re-judged (verdicts only for the batch)."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    index = SIM.ivf_assign(corpus, cents)
+    batch = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01, 0.0, 0.0]),   # near corpus 100, lower id -> drops
+            (2, [0.0, 0.1, 0.99, 0.0]),    # novel direction -> kept
+            (3, [0.0, 0.11, 0.985, 0.0]),  # near batch 2 (lower id) -> drops
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["kept"] for r in SIM.semantic_dedup_incremental(
+        index, batch, cents, threshold=0.9
+    ).collect()}
+    assert out == {1: False, 2: True, 3: False}
+
+
+def test_semantic_dedup_incremental_matches_one_shot_on_empty_corpus(spark, sem_emb):
+    """With an empty committed corpus the incremental probe IS the
+    one-shot semantic_dedup (same verdicts)."""
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    empty = sem_emb.filter("vec_id < 0")
+    index = SIM.ivf_assign(empty, cents)
+    inc = {r["vec_id"]: r["kept"] for r in SIM.semantic_dedup_incremental(
+        index, sem_emb, cents, threshold=0.9
+    ).collect()}
+    one = {r["vec_id"]: r["kept"] for r in SIM.semantic_dedup(
+        sem_emb, cents, threshold=0.9
+    ).collect()}
+    assert inc == one

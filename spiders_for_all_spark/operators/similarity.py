@@ -9,7 +9,7 @@ sign-random-projection LSH so each query only scores its bucket; multiprobe
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spiders_for_all_spark.functions.vectors import (
@@ -287,6 +287,46 @@ def semantic_dedup(
         "cid",
         "centroid_cos",
         F.col("_dup").isNull().alias("kept"),
+    )
+
+
+def prototype_prune(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    frac_ppm: int = 250_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022,
+    arXiv:2206.14486): within each embedding cluster, drop the most
+    PROTOTYPICAL ``frac_ppm`` parts-per-million of members — the ones
+    closest to their centroid carry the least marginal training signal
+    on large datasets, so "keep hard examples" beats random pruning.
+    Returns one row per vector: ``(id, cid, centroid_cos, proto_rank,
+    kept)`` with ``proto_rank`` = 1 for the most prototypical member.
+
+    The drop count is INTEGER ppm arithmetic (``(n * frac_ppm) div
+    10^6``, the linkrank invariant) and the rank's tiebreak is the id,
+    so the pruned set is bit-identical on any engine or partitioning.
+    Plan: the zero-shuffle :func:`ivf_assign` map, then ONE shuffle on
+    cid for the two windows — per-cluster sort of bounded cluster size
+    (choose k as in :func:`semantic_dedup`); no pairwise work at all.
+    """
+    a = ivf_assign(emb, centroids, vec_col, with_cos=True)
+    w_rank = Window.partitionBy("cid").orderBy(
+        F.desc("centroid_cos"), F.col(id_col)
+    )
+    w_all = Window.partitionBy("cid")
+    return (
+        a.select(F.col(id_col), F.col("cid"), F.col("centroid_cos"))
+        .withColumn("proto_rank", F.row_number().over(w_rank))
+        .withColumn("_n", F.count("*").over(w_all))
+        .withColumn(
+            "kept",
+            F.col("proto_rank")
+            > F.expr(f"(_n * {int(frac_ppm)}) div 1000000"),
+        )
+        .drop("_n")
     )
 
 

@@ -2929,6 +2929,44 @@ def crawl_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_semantic_prototypes",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                      {_COS_SQL.format(a='e.embedding', b='c.cvec')} AS ccos
+               FROM embeddings e, c),
+    assign AS (SELECT vec_id, cid, ccos,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cid) AS rn
+               FROM scored),
+    a AS (SELECT vec_id, cid, ccos FROM assign WHERE rn = 1),
+    r AS (SELECT vec_id, cid, ccos,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY ccos DESC, vec_id)
+                     AS proto_rank,
+                 count(*) OVER (PARTITION BY cid) AS n
+          FROM a)
+    SELECT vec_id, CAST(cid AS INT) AS cid, ccos AS centroid_cos,
+           CAST(proto_rank AS INT) AS proto_rank,
+           proto_rank > (n * 250000) // 1000000 AS kept
+    FROM r
+    """,
+)
+def dedup_semantic_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning (similarity.py prototype_prune): drop the
+    most prototypical 25% of each embedding cluster (4 fixed centroids,
+    integer-ppm drop count, id tiebreak) — the keep-hard-examples
+    companion to SemDeDup's drop-near-duplicates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    return SIM.prototype_prune(emb, cents, frac_ppm=250_000)
+
+
+@_register(
     "dedup_semantic_incremental",
     f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS cvec

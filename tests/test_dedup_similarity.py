@@ -439,3 +439,29 @@ def test_semantic_dedup_incremental_matches_one_shot_on_empty_corpus(spark, sem_
         sem_emb, cents, threshold=0.9
     ).collect()}
     assert inc == one
+
+
+def test_prototype_prune_drops_most_prototypical_quarter(spark):
+    """8-member cluster at 25%: the 2 vectors closest to the centroid
+    drop; integer ppm floor ((8*250000) div 1e6 = 2); ranks unique."""
+    rows = [(i, [1.0, 0.05 * i, 0.0, 0.0]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {r["vec_id"]: r for r in SIM.prototype_prune(
+        emb, [[1.0, 0.0, 0.0, 0.0]], frac_ppm=250_000
+    ).collect()}
+    # vec 0 is exactly the centroid (rank 1), vec 1 next -> both dropped
+    assert out[0]["proto_rank"] == 1 and out[0]["kept"] is False
+    assert out[1]["proto_rank"] == 2 and out[1]["kept"] is False
+    assert all(out[i]["kept"] for i in range(2, 8))
+    assert sorted(r["proto_rank"] for r in out.values()) == list(range(1, 9))
+
+
+def test_prototype_prune_small_cluster_floor_keeps_all(spark):
+    """3-member cluster at 25%: (3*250000) div 1e6 = 0 -> nothing drops
+    (the integer floor never over-prunes small clusters)."""
+    rows = [(i, [1.0, 0.05 * i, 0.0, 0.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = SIM.prototype_prune(
+        emb, [[1.0, 0.0, 0.0, 0.0]], frac_ppm=250_000
+    ).collect()
+    assert all(r["kept"] for r in out)

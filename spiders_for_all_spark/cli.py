@@ -459,6 +459,13 @@ def cmd_curate(ns: argparse.Namespace) -> int:
         ),
         min_dsir_logratio=ns.min_dsir_logratio,
     )
+    if ns.token_budget:
+        from spiders_for_all_spark.operators.packing import (
+            token_budget_sample,
+        )
+
+        keep = token_budget_sample(curated, ns.token_budget).select("doc_id")
+        curated = curated.join(keep, on="doc_id", how="left_semi")
     if ns.split:
         from spiders_for_all_spark.operators.export import split_assign
 
@@ -642,6 +649,10 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-dsir-logratio", type=float, default=None,
                     help="drop docs below this DSIR logratio/token "
                          "(requires --dsir-target)")
+    cu.add_argument("--token-budget", type=int, default=None, metavar="N",
+                    help="freeze a seeded N-token sample (deterministic "
+                         "md5 stream order, straddling doc kept) before "
+                         "splitting/packing")
     cu.add_argument("--pack-seq-len", type=int, default=None, metavar="L",
                     help="also write the L-token sequence-packing manifest "
                          "next to --out (concatenate-and-chunk)")

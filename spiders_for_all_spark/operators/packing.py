@@ -31,23 +31,16 @@ from pyspark.sql import functions as F
 from spiders_for_all_spark.functions.text import token_count
 
 
-def pack_sequences(
+def global_token_offsets(
     docs: DataFrame,
-    seq_len: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "s0",
 ) -> DataFrame:
-    """Per document: its global token offset in the packed stream and the
-    range of ``seq_len``-token training sequences it lands in.
-
-    Returns (id, n_tok, global_offset, seq_first, seq_last) where
-    ``seq_first = floor(global_offset / seq_len)`` and ``seq_last``
-    covers the document's final token — a doc spanning a chunk boundary
-    appears in consecutive sequences, exactly like the tokenized stream
-    it models.  Deterministic for a given (corpus, seed): re-running on
-    resume or backfill reproduces identical packing.
-    """
+    """(id, n_tok, global_offset) of every document in the seeded md5
+    stream order — the distributed two-stage prefix sum the module
+    docstring describes, shared by :func:`pack_sequences` and
+    :func:`token_budget_sample`."""
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     bucket = F.substring(key, 1, 2)  # hex prefix byte: 256 buckets
     toks = docs.select(
@@ -75,13 +68,33 @@ def pack_sequences(
             "_base"
         ),
     )
-    out = staged.join(F.broadcast(bases), "_bucket").select(
+    return staged.join(F.broadcast(bases), "_bucket").select(
         id_col,
         "n_tok",
         (F.col("_base") + F.col("_cum_in_bucket") - F.col("n_tok")).alias(
             "global_offset"
         ),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Per document: its global token offset in the packed stream and the
+    range of ``seq_len``-token training sequences it lands in.
+
+    Returns (id, n_tok, global_offset, seq_first, seq_last) where
+    ``seq_first = floor(global_offset / seq_len)`` and ``seq_last``
+    covers the document's final token — a doc spanning a chunk boundary
+    appears in consecutive sequences, exactly like the tokenized stream
+    it models.  Deterministic for a given (corpus, seed): re-running on
+    resume or backfill reproduces identical packing.
+    """
+    out = global_token_offsets(docs, text_col, id_col, seed)
     # `div` = exact integer division (a double floor would be ulp-fragile
     # once offsets pass 2^53 on a real corpus)
     return out.select(
@@ -93,6 +106,37 @@ def pack_sequences(
             f"(global_offset + greatest(n_tok, 1) - 1) div {int(seq_len)}"
         ).alias("seq_last"),
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    strict: bool = False,
+) -> DataFrame:
+    """Seeded token-budget corpus freeze: take documents in the
+    deterministic md5 stream order until ``budget`` tokens are reached —
+    "give me a 50B-token uniform sample of this corpus", the sizing step
+    before any pretraining run.  Returns the selected documents'
+    ``(id, n_tok, global_offset)`` rows.
+
+    ``strict=False`` (default) keeps the document straddling the budget
+    boundary (``global_offset < budget`` — the stream-truncation rule
+    sequence packing uses); ``strict=True`` keeps only fully-fitting
+    documents (``global_offset + n_tok <= budget``).  Selection is a
+    FILTER on the :func:`global_token_offsets` prefix sum, so the plan
+    is the same one-shuffle two-stage cumsum — no global sort, no
+    driver-side accumulation, and the same (corpus, seed) always
+    freezes the same sample on resume or backfill.
+    """
+    off = global_token_offsets(docs, text_col, id_col, seed)
+    if strict:
+        cond = (F.col("global_offset") + F.col("n_tok")) <= budget
+    else:
+        cond = F.col("global_offset") < budget
+    return off.filter(cond)
 
 
 def pack_manifest(

@@ -3080,6 +3080,25 @@ def clean_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_signals(d)
 
 
+@_register(
+    "export_token_budget_sample",
+    f"""
+    WITH cum AS ({_PACK_CUM_SQL})
+    SELECT doc_id, n_tok, global_offset
+    FROM cum WHERE global_offset < 10000
+    """,
+)
+def export_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded 10k-token budget freeze (packing.py token_budget_sample):
+    documents in deterministic md5 stream order until the budget fills
+    (straddling doc kept) — a filter on the two-stage distributed prefix
+    sum pack_sequences shares, no global sort."""
+    from spiders_for_all_spark.operators.packing import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_budget_sample(d, budget=10_000)
+
+
 # ===========================================================================
 # Driver-gate registration order.
 #

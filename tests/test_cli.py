@@ -457,3 +457,25 @@ def test_curate_dsir_floor_binds(spark, tmp_path, capsys):
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s1["out_docs"] > 0
     assert s2["out_docs"] == 0
+
+
+def test_curate_token_budget_freezes_prefix(spark, tmp_path, capsys):
+    """--token-budget N keeps the seeded md5-order document prefix whose
+    tokens fill N: strictly fewer docs than the full freeze, more than
+    zero, and deterministic across runs."""
+    out1 = str(tmp_path / "full")
+    out2 = str(tmp_path / "b1")
+    out3 = str(tmp_path / "b2")
+    assert main(["curate", "--sf-dir", SF_DIR, "--out", out1]) == 0
+    s_full = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["curate", "--sf-dir", SF_DIR, "--token-budget", "500",
+                 "--out", out2]) == 0
+    s_b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < s_b["out_docs"] < s_full["out_docs"]
+    assert main(["curate", "--sf-dir", SF_DIR, "--token-budget", "500",
+                 "--out", out3]) == 0
+    s_b2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s_b2["out_docs"] == s_b["out_docs"]
+    a = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    b = {r["doc_id"] for r in spark.read.parquet(out3).select("doc_id").collect()}
+    assert a == b

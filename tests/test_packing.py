@@ -86,3 +86,32 @@ def test_pack_no_global_sort_in_plan(spark):
     # but rides the broadcast side)
     corpus_side = plan.split("BroadcastExchange")[0]
     assert "SinglePartition" not in corpus_side
+
+
+def test_token_budget_sample_matches_python_model(spark):
+    """The selected set equals an independently computed md5-order prefix:
+    walk docs sorted by md5('s0'||id), accumulate token counts, keep while
+    the running offset is under budget (straddler kept); strict mode
+    drops the straddler."""
+    import hashlib
+
+    from spiders_for_all_spark.operators.packing import token_budget_sample
+
+    docs = _corpus(spark)
+    rows = [(r["doc_id"], len(r["text"].split())) for r in docs.collect()]
+    order = sorted(rows, key=lambda t: hashlib.md5(f"s0{t[0]}".encode()).hexdigest())
+    budget = 120
+    off, expect_loose, expect_strict = 0, set(), set()
+    for doc_id, n in order:
+        if off < budget:
+            expect_loose.add(doc_id)
+        if off + n <= budget:
+            expect_strict.add(doc_id)
+        off += n
+
+    loose = token_budget_sample(docs, budget).collect()
+    assert {r["doc_id"] for r in loose} == expect_loose
+    assert all(r["global_offset"] < budget for r in loose)
+    strict = token_budget_sample(docs, budget, strict=True).collect()
+    assert {r["doc_id"] for r in strict} == expect_strict
+    assert expect_strict <= expect_loose and expect_loose - expect_strict

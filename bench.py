@@ -358,8 +358,12 @@ def main() -> None:
         "windowed_event_counts",
         "sessionize_events",
         "dedup_semantic_semdedup",
+        "dedup_semantic_incremental",
+        "dedup_semantic_prototypes",
         "curation_dsir_scores",
         "crawl_budget_apportion",
+        "clean_gopher_rules",
+        "export_token_budget_sample",
     ]
     # per-workload AQE config: the crawl round wants NO post-shuffle
     # coalescing (its 1M-row window stages collapse to ~3 partitions under

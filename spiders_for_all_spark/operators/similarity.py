@@ -267,18 +267,22 @@ def semantic_dedup(
         F.col(id_col), F.col(vec_col), "cid", "centroid_cos"
     )
     # normalize once per row so each pair costs ONE dot product (the
-    # pair loop runs HOF-interpreted: 3 dots per pair was the hot spot)
-    lo = a.select(
-        F.col(id_col).alias("_lo"), l2_normalize(F.col(vec_col)).alias("_lv"), "cid"
-    )
-    hi = a.select(
-        F.col(id_col).alias("_hi"), l2_normalize(F.col(vec_col)).alias("_hv"), "cid"
+    # pair loop runs HOF-interpreted: 3 dots per pair was the hot spot);
+    # self-join ONE projection so the cid exchange is computed once and
+    # the other side is a ReusedExchange, not a second scan+normalize
+    p = a.select(
+        F.col(id_col).alias("_pid"),
+        l2_normalize(F.col(vec_col)).alias("_nv"),
+        "cid",
     )
     dropped = (
-        lo.join(hi, "cid")
-        .filter(F.col("_lo") < F.col("_hi"))
-        .filter(F.round(dot(F.col("_lv"), F.col("_hv")), 6) >= threshold)
-        .select(F.col("_hi").alias(id_col))
+        p.alias("l")
+        .join(p.alias("r"), "cid")
+        .filter(F.col("l._pid") < F.col("r._pid"))
+        .filter(
+            F.round(dot(F.col("l._nv"), F.col("r._nv")), 6) >= threshold
+        )
+        .select(F.col("r._pid").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
@@ -381,17 +385,19 @@ def semantic_dedup_incremental(
         .select(F.col("_bi").alias(id_col))
         .distinct()
     )
-    lo = b.select(
-        F.col(id_col).alias("_lo"), l2_normalize(F.col(vec_col)).alias("_lv"), "cid"
-    )
-    hi = b.select(
-        F.col(id_col).alias("_hi"), l2_normalize(F.col(vec_col)).alias("_hv"), "cid"
+    p = b.select(
+        F.col(id_col).alias("_pid"),
+        l2_normalize(F.col(vec_col)).alias("_nv"),
+        "cid",
     )
     batch_hit = (
-        lo.join(hi, "cid")
-        .filter(F.col("_lo") < F.col("_hi"))
-        .filter(F.round(dot(F.col("_lv"), F.col("_hv")), 6) >= threshold)
-        .select(F.col("_hi").alias(id_col))
+        p.alias("l")
+        .join(p.alias("r"), "cid")
+        .filter(F.col("l._pid") < F.col("r._pid"))
+        .filter(
+            F.round(dot(F.col("l._nv"), F.col("r._nv")), 6) >= threshold
+        )
+        .select(F.col("r._pid").alias(id_col))
         .distinct()
     )
     dropped = corpus_hit.union(batch_hit).distinct().withColumn(

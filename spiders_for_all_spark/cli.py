@@ -446,6 +446,7 @@ def cmd_curate(ns: argparse.Namespace) -> int:
         decon_shingle_n=ns.decon_ngram,
         blocklist=blocklist,
         repetition_filter=ns.repetition_filter,
+        gopher=ns.gopher,
         passage_n=ns.passage_dedup,
         scrub_pii=ns.scrub_pii,
         substring_k=ns.substring_dedup,
@@ -624,6 +625,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="seeded exact-k per-language sample")
     cu.add_argument("--blocklist", default=None,
                     help="parquet/csv of blocked domain suffixes (col: domain)")
+    cu.add_argument("--gopher", action="store_true",
+                    help="apply the seven Gopher/MassiveWeb doc-quality "
+                         "rules (expression-only, pre-dedup)")
     cu.add_argument("--repetition-filter", action="store_true",
                     help="drop Gopher-style repetitious documents")
     cu.add_argument("--passage-dedup", type=int, default=None, metavar="N",

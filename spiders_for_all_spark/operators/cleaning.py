@@ -568,6 +568,102 @@ def repetition_signals(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def _gopher_word_struct(t: Column) -> Column:
+    """Word-array-derived Gopher metrics as one let-bound struct."""
+    n_symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ) + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
+
+    def from_words(w: Column) -> Column:
+        n = F.size(w)
+        safe_n = F.greatest(n, F.lit(1)).cast("double")
+        total_len = F.aggregate(
+            w, F.lit(0), lambda acc, x: acc + F.length(x)
+        )
+        stop_hits = None
+        for s in GOPHER_STOPWORDS:
+            hit = F.array_contains(w, s).cast("int")
+            stop_hits = hit if stop_hits is None else stop_hits + hit
+        return F.struct(
+            n.alias("n_words"),
+            F.round(total_len / safe_n, 4).alias("mean_word_len"),
+            F.round(n_symbols / safe_n, 4).alias("symbol_word_ratio"),
+            F.round(
+                F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / safe_n, 4
+            ).alias("alpha_word_frac"),
+            stop_hits.alias("stop_hits"),
+        )
+
+    return let(words(t), from_words)
+
+
+def _gopher_line_struct(t: Column) -> Column:
+    """Raw-line-derived Gopher metrics as one let-bound struct."""
+
+    def from_lines(ls: Column) -> Column:
+        safe_n = F.greatest(F.size(ls), F.lit(1)).cast("double")
+        bullet = F.filter(
+            ls,
+            lambda x: let(
+                F.ltrim(x),
+                lambda l: l.startswith("•")
+                | l.startswith("-")
+                | l.startswith("*"),
+            ),
+        )
+        ellipsis = F.filter(
+            ls,
+            lambda x: let(
+                F.rtrim(x),
+                lambda l: l.endswith("...") | l.endswith("…"),
+            ),
+        )
+        return F.struct(
+            F.round(F.size(bullet) / safe_n, 4).alias("bullet_line_frac"),
+            F.round(F.size(ellipsis) / safe_n, 4).alias("ellipsis_line_frac"),
+        )
+
+    return let(F.split(t, "\n"), from_lines)
+
+
+def gopher_keep(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The Gopher rule conjunction as a single filter Column (each metric
+    struct evaluated once via nested lets) — for expression-only pruning
+    in a pipeline that doesn't need the per-metric breakdown
+    :func:`gopher_signals` emits."""
+    return let(
+        _gopher_word_struct(text),
+        lambda w: let(
+            _gopher_line_struct(text),
+            lambda l: (
+                w.getField("n_words").between(min_words, max_words)
+                & w.getField("mean_word_len").between(
+                    min_mean_word_len, max_mean_word_len
+                )
+                & (w.getField("symbol_word_ratio") <= max_symbol_word_ratio)
+                & (l.getField("bullet_line_frac") <= max_bullet_line_frac)
+                & (
+                    l.getField("ellipsis_line_frac")
+                    <= max_ellipsis_line_frac
+                )
+                & (w.getField("alpha_word_frac") >= min_alpha_word_frac)
+                & (w.getField("stop_hits") >= min_stop_hits)
+            ),
+        ),
+    )
+
+
 def gopher_signals(
     df: DataFrame,
     text_col: str = "text",
@@ -594,60 +690,15 @@ def gopher_signals(
     columns so the keep flag is bit-identical to any engine recomputing
     it from the emitted metrics.  Thresholds are the paper's defaults,
     parameterized.  Filters here prune BEFORE any dedup shuffle in
-    curate_corpus-style compositions (cheap-first ordering).
+    curate_corpus-style compositions (cheap-first ordering);
+    :func:`gopher_keep` packages the verdict as a single filter Column
+    for exactly that use.
     """
     t = F.col(text_col)
-    n_symbols = (
-        F.length(t) - F.length(F.regexp_replace(t, "#", ""))
-    ) + (F.length(t) - F.length(F.regexp_replace(t, "…", "")))
-
-    def from_words(w: Column) -> Column:
-        n = F.size(w)
-        safe_n = F.greatest(n, F.lit(1)).cast("double")
-        total_len = F.aggregate(
-            w, F.lit(0), lambda acc, x: acc + F.length(x)
-        )
-        stop_hits = None
-        for s in GOPHER_STOPWORDS:
-            hit = F.array_contains(w, s).cast("int")
-            stop_hits = hit if stop_hits is None else stop_hits + hit
-        return F.struct(
-            n.alias("n_words"),
-            F.round(total_len / safe_n, 4).alias("mean_word_len"),
-            F.round(n_symbols / safe_n, 4).alias("symbol_word_ratio"),
-            F.round(
-                F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / safe_n, 4
-            ).alias("alpha_word_frac"),
-            stop_hits.alias("stop_hits"),
-        )
-
-    def from_lines(ls: Column) -> Column:
-        safe_n = F.greatest(F.size(ls), F.lit(1)).cast("double")
-        bullet = F.filter(
-            ls,
-            lambda x: let(
-                F.ltrim(x),
-                lambda l: l.startswith("•")
-                | l.startswith("-")
-                | l.startswith("*"),
-            ),
-        )
-        ellipsis = F.filter(
-            ls,
-            lambda x: let(
-                F.rtrim(x),
-                lambda l: l.endswith("...") | l.endswith("…"),
-            ),
-        )
-        return F.struct(
-            F.round(F.size(bullet) / safe_n, 4).alias("bullet_line_frac"),
-            F.round(F.size(ellipsis) / safe_n, 4).alias("ellipsis_line_frac"),
-        )
-
     base = df.select(
         F.col(id_col),
-        let(words(t), from_words).alias("_w"),
-        let(F.split(t, "\n"), from_lines).alias("_l"),
+        _gopher_word_struct(t).alias("_w"),
+        _gopher_line_struct(t).alias("_l"),
     )
     g = lambda f: F.col(f"_w.{f}")  # noqa: E731
     ln = lambda f: F.col(f"_l.{f}")  # noqa: E731

@@ -120,6 +120,7 @@ def curate_corpus(
     lm_train_df: DataFrame | None = None,
     dsir_target_df: DataFrame | None = None,
     min_dsir_logratio: float | None = None,
+    gopher: bool = False,
 ) -> DataFrame:
     """The corpus-freeze composition every pretraining pipeline runs:
     domain blocklist -> repetition filter -> near-dedup (keep cluster
@@ -165,6 +166,12 @@ def curate_corpus(
         out = out.filter(
             (dup_word_fraction(t) <= dwf_max) & (top_bigram_fraction(t) <= tbf_max)
         )
+    if gopher:
+        # Gopher/MassiveWeb rule conjunction — expression-only, so it
+        # prunes in the cheap-first block before any dedup shuffle
+        from spiders_for_all_spark.operators.cleaning import gopher_keep
+
+        out = out.filter(gopher_keep(F.col(text_col)))
     clusters = minhash_dup_clusters(out, text_col, id_col)
     non_reps = clusters.filter(F.col(id_col) != F.col("component")).select(
         id_col

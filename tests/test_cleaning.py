@@ -522,3 +522,28 @@ def test_gopher_signals_thresholds_parameterized(spark):
     relaxed = gopher_signals(df, min_words=5).first()
     assert strict["gopher_keep"] is False  # 10 words < default 50
     assert relaxed["gopher_keep"] is True
+
+
+def test_gopher_keep_column_matches_signals_verdict(spark):
+    """The single-Column rule conjunction (gopher_keep) must agree with
+    gopher_signals' emitted verdict on every crafted doc."""
+    from spiders_for_all_spark.operators.cleaning import (
+        gopher_keep,
+        gopher_signals,
+    )
+
+    filler = " ".join(
+        "the data and model have text with tokens of that kind".split()
+    )
+    docs = [
+        ("good", " ".join([filler] * 6)),
+        ("short", "the and of"),
+        ("bullets", "\n".join("• " + filler for _ in range(8))),
+        ("numbers", " ".join(["123"] * 60) + " the and"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    verdicts = {r["doc_id"]: r["gopher_keep"]
+                for r in gopher_signals(df).collect()}
+    kept = {r["doc_id"] for r in df.filter(
+        gopher_keep(F.col("text"))).collect()}
+    assert kept == {k for k, v in verdicts.items() if v} == {"good"}

@@ -479,3 +479,16 @@ def test_curate_token_budget_freezes_prefix(spark, tmp_path, capsys):
     a = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
     b = {r["doc_id"] for r in spark.read.parquet(out3).select("doc_id").collect()}
     assert a == b
+
+
+def test_curate_gopher_flag_binds(capsys, tmp_path):
+    """--gopher applies the rule conjunction: the synthetic sf docs are
+    all under the 50-word floor, so the flag empties the freeze while the
+    default run keeps docs."""
+    out1 = str(tmp_path / "nog")
+    out2 = str(tmp_path / "g")
+    assert main(["curate", "--sf-dir", SF_DIR, "--out", out1]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["curate", "--sf-dir", SF_DIR, "--gopher", "--out", out2]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["out_docs"] > 0 and s2["out_docs"] == 0

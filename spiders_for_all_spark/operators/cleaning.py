@@ -564,6 +564,58 @@ def repetition_signals(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash every ``k``-word shingle, slide a ``w``-hash window
+    over the sequence and select each window's minimum (ties -> leftmost,
+    a deterministic variant of the paper's rightmost rule); the DISTINCT
+    selected (position, hash) pairs are the document's fingerprint set.
+    Guarantee: any run of ``w + k - 1`` identical words shared by two
+    documents contributes at least one identical selected fingerprint —
+    the local-selection robustness exact-sampling (0 mod p) lacks.
+    Documents with fewer than ``w + k - 1`` words yield no full window
+    and hence no fingerprints.
+
+    Returns exploded ``(id, pos, fp)`` rows.  Scale shape: ONE shuffle
+    of (id, pos, h) triples (text never leaves the scan stage), a
+    per-doc ROWS window, then a distinct partial agg.  The hash is 28
+    bits and packs with the position into a single bigint
+    (``h * 2^32 + pos``, 60 bits), so the window min is a plain integer
+    min — no struct comparison, engine-invariant, and the same md5-conv
+    idiom every seeded draw in this repo uses.
+    """
+    grams = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.posexplode(shingles(F.col(text_col), k)).alias("_rpos", "_g"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("_g")), 1, 7), 16, 10).cast("bigint")
+    packed = grams.select(
+        "_id",
+        "_rpos",
+        (h * F.lit(4294967296).cast("bigint") + F.col("_rpos")).alias("_c"),
+    )
+    wspec = (
+        Window.partitionBy("_id").orderBy("_rpos").rowsBetween(-(w - 1), 0)
+    )
+    sel = (
+        packed.withColumn("_m", F.min("_c").over(wspec))
+        .filter(F.col("_rpos") >= w - 1)
+        .select(
+            "_id",
+            (F.col("_m") % F.lit(4294967296)).cast("bigint").alias("pos"),
+            F.expr("_m div 4294967296").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel.select(F.col("_id").alias(id_col), "pos", "fp")
+
+
 # the Gopher/MassiveWeb required-word list (Rae et al. 2021 table A1)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 

@@ -3081,6 +3081,43 @@ def clean_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_winnow_fingerprints",
+    """
+    WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                         {norm} AS norm
+                  FROM documents),
+    wds AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
+    g AS (SELECT doc_id, u.pos AS rpos,
+                 ('0x' || substring(md5(u.g), 1, 7))::BIGINT AS h
+          FROM (SELECT doc_id,
+                       unnest([{'pos': i,
+                                'g': array_to_string(w[i+1:i+5], ' ')}
+                               for i in range(greatest(len(w) - 4, 0))]) AS u
+                FROM wds)),
+    m AS (SELECT doc_id, rpos,
+                 min(h * 4294967296 + rpos)
+                     OVER (PARTITION BY doc_id ORDER BY rpos
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+          FROM g)
+    SELECT DISTINCT doc_id,
+           CAST(c % 4294967296 AS BIGINT) AS pos,
+           CAST(c // 4294967296 AS BIGINT) AS fp
+    FROM m WHERE rpos >= 3
+    """.replace("{norm}", _NORM_SQL),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (cleaning.py winnow_fingerprints, MOSS
+    k=5 w=4): each document's locally-selected shingle-hash set — any
+    8-word run shared by two documents shares a fingerprint.  The
+    window min runs over a packed (hash, pos) bigint, so the whole
+    selection is integer ops after one narrow shuffle."""
+    from spiders_for_all_spark.operators.cleaning import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_fingerprints(d, k=5, w=4)
+
+
+@_register(
     "export_token_budget_sample",
     f"""
     WITH cum AS ({_PACK_CUM_SQL})

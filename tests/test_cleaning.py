@@ -547,3 +547,46 @@ def test_gopher_keep_column_matches_signals_verdict(spark):
     kept = {r["doc_id"] for r in df.filter(
         gopher_keep(F.col("text"))).collect()}
     assert kept == {k for k, v in verdicts.items() if v} == {"good"}
+
+
+def test_winnow_fingerprints_coverage_and_shared_run(spark):
+    """Winnowing invariants: consecutive selected positions within a doc
+    are at most w apart (full coverage), and two docs sharing a
+    >= w+k-1-word run share at least one fingerprint hash; a doc shorter
+    than w+k-1 words yields no fingerprints."""
+    from spiders_for_all_spark.operators.cleaning import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    docs = [
+        ("a", shared + " unique tail words for doc a here now"),
+        ("b", "totally different head words lead in " + shared),
+        ("tiny", "too short for any window"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    out = winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc: dict[str, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    assert "tiny" not in by_doc
+    for d in ("a", "b"):
+        sel = sorted(p for p, _ in by_doc[d])
+        assert all(b - a <= 4 for a, b in zip(sel, sel[1:]))
+    fps_a = {fp for _, fp in by_doc["a"]}
+    fps_b = {fp for _, fp in by_doc["b"]}
+    assert fps_a & fps_b, "shared 8-word run must share a fingerprint"
+
+
+def test_winnow_fingerprints_deterministic_positions(spark):
+    """Same text -> identical (pos, fp) set on re-run; selected position
+    always lies inside its window (pos in [rpos-w+1, rpos])."""
+    from spiders_for_all_spark.operators.cleaning import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [("d", " ".join(f"w{i % 11}" for i in range(40)))],
+        "doc_id string, text string",
+    )
+    a = sorted((r["pos"], r["fp"]) for r in winnow_fingerprints(df).collect())
+    b = sorted((r["pos"], r["fp"]) for r in winnow_fingerprints(df).collect())
+    assert a == b and len(a) > 0
+    n_grams = 40 - 5 + 1
+    assert all(0 <= p <= n_grams - 1 for p, _ in a)

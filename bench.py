@@ -364,6 +364,7 @@ def main() -> None:
         "crawl_budget_apportion",
         "clean_gopher_rules",
         "export_token_budget_sample",
+        "text_winnow_fingerprints",
     ]
     # per-workload AQE config: the crawl round wants NO post-shuffle
     # coalescing (its 1M-row window stages collapse to ~3 partitions under

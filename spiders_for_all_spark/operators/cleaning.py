@@ -616,6 +616,38 @@ def winnow_fingerprints(
     return sel.select(F.col("_id").alias(id_col), "pos", "fp")
 
 
+def winnow_candidate_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate containment/plagiarism pairs from shared winnowing
+    fingerprints: two documents sharing ANY selected fingerprint (hence
+    any ``w + k - 1``-word run) become an edge.  Pair emission is
+    STAR-REDUCED like the MinHash path (textdedup
+    minhash_candidate_pairs): each fingerprint bucket emits
+    (bucket-min, member) edges — O(n) per bucket, connected-components-
+    equal to the all-pairs form, so a boilerplate phrase shared by a
+    million pages yields 10^6 edges, not 5·10^11.  Feed the edges to
+    ``textdedup.connected_components`` for clusters; verify true overlap
+    pair-locally if exact spans are needed (dedup_substring_spans).
+    """
+    fps = (
+        winnow_fingerprints(df, k, w, text_col, id_col)
+        .select(id_col, "fp")
+        .distinct()
+    )
+    rep = fps.groupBy("fp").agg(F.min(id_col).alias("a"))
+    return (
+        fps.join(rep, "fp")
+        .filter(F.col(id_col) != F.col("a"))
+        .select("a", F.col(id_col).alias("b"))
+        .distinct()
+    )
+
+
 # the Gopher/MassiveWeb required-word list (Rae et al. 2021 table A1)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 

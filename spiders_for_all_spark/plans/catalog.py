@@ -3080,12 +3080,10 @@ def clean_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_signals(d)
 
 
-@_register(
-    "text_winnow_fingerprints",
-    """
-    WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                         {norm} AS norm
-                  FROM documents),
+_WINNOW_FPS_SQL = """
+    docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                    {norm} AS norm
+             FROM documents),
     wds AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
     g AS (SELECT doc_id, u.pos AS rpos,
                  ('0x' || substring(md5(u.g), 1, 7))::BIGINT AS h
@@ -3098,12 +3096,20 @@ def clean_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                  min(h * 4294967296 + rpos)
                      OVER (PARTITION BY doc_id ORDER BY rpos
                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
-          FROM g)
-    SELECT DISTINCT doc_id,
-           CAST(c % 4294967296 AS BIGINT) AS pos,
-           CAST(c // 4294967296 AS BIGINT) AS fp
-    FROM m WHERE rpos >= 3
-    """.replace("{norm}", _NORM_SQL),
+          FROM g),
+    fps AS (SELECT DISTINCT doc_id,
+                   CAST(c % 4294967296 AS BIGINT) AS pos,
+                   CAST(c // 4294967296 AS BIGINT) AS fp
+            FROM m WHERE rpos >= 3)
+""".replace("{norm}", _NORM_SQL)
+
+
+@_register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_FPS_SQL}
+    SELECT doc_id, pos, fp FROM fps
+    """,
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (cleaning.py winnow_fingerprints, MOSS
@@ -3115,6 +3121,30 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return winnow_fingerprints(d, k=5, w=4)
+
+
+@_register(
+    "dedup_winnow_pairs",
+    f"""
+    WITH {_WINNOW_FPS_SQL},
+    b AS (SELECT DISTINCT doc_id, fp FROM fps),
+    rep AS (SELECT fp, min(doc_id) AS a FROM b GROUP BY fp)
+    SELECT DISTINCT rep.a, b.doc_id AS b
+    FROM b JOIN rep USING (fp)
+    WHERE b.doc_id <> rep.a
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-reduced candidate pairs from shared winnowing fingerprints
+    (cleaning.py winnow_candidate_pairs): any two docs sharing an 8-word
+    run edge to the fingerprint bucket's min-id representative — O(n)
+    edges per bucket, CC-equal to all-pairs."""
+    from spiders_for_all_spark.operators.cleaning import (
+        winnow_candidate_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_candidate_pairs(d, k=5, w=4)
 
 
 @_register(

@@ -274,6 +274,7 @@ def streaming_document_quality(docs: DataFrame) -> DataFrame:
     from spiders_for_all_spark.functions.text import lang_id, quality_score
     from spiders_for_all_spark.operators.cleaning import (
         dup_word_fraction,
+        gopher_keep,
         pii_scrub,
         top_bigram_fraction,
     )
@@ -285,6 +286,7 @@ def streaming_document_quality(docs: DataFrame) -> DataFrame:
         lang_id(t).alias("lang_guess"),
         dup_word_fraction(t).alias("dup_word_frac"),
         top_bigram_fraction(t).alias("top_bigram_frac"),
+        gopher_keep(t).alias("gopher_keep"),
         pii_scrub(t).alias("text_scrubbed"),
     )
 

@@ -590,3 +590,26 @@ def test_winnow_fingerprints_deterministic_positions(spark):
     assert a == b and len(a) > 0
     n_grams = 40 - 5 + 1
     assert all(0 <= p <= n_grams - 1 for p, _ in a)
+
+
+def test_winnow_candidate_pairs_star_reduced(spark):
+    """A phrase planted in n docs emits n-1 star edges per bucket (not
+    n²/2), the sharing docs connect through the min-id representative,
+    and unrelated docs stay edge-free."""
+    from spiders_for_all_spark.operators.cleaning import (
+        winnow_candidate_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [(f"c{i:02d}", shared + f" filler tail {i} pad pad pad")
+            for i in range(12)]
+    docs.append(("zz", "entirely unrelated words with no overlap at all"))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    edges = [(r["a"], r["b"]) for r in winnow_candidate_pairs(df).collect()]
+    assert all(a < b for a, b in edges)
+    assert not any("zz" in e for e in edges)
+    # star shape: every sharing doc reachable from c00 via one hop
+    touched = {x for e in edges for x in e}
+    assert {f"c{i:02d}" for i in range(12)} <= touched
+    # O(n) bound: far fewer edges than the 12*11/2 = 66 all-pairs form
+    assert len(edges) <= 3 * 11

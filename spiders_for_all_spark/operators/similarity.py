@@ -140,19 +140,42 @@ def ivf_assign(
     ``with_cos=True`` also emits ``centroid_cos`` (the rounded cosine to
     the assigned centroid) — the prototypicality signal SemDeDup-style
     pruning ranks on.
+
+    Cost shape (r06): the HOF folds run interpreted, so the per-row work
+    is counted in folds.  The row norm is let-bound ONCE across all k
+    cosines and each centroid norm is a Python-computed literal (same
+    float64 sequential sum+sqrt, bit-identical), so a row costs k dot
+    folds + 1 norm fold instead of k·(dot + 2 norms) — 12 -> 5 folds at
+    k=4, same values to the last bit.
     """
-    scored = F.array(
-        *[
-            F.struct(
-                cosine_rounded(
-                    F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])
-                ).alias("cos"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
-    )
-    best = F.array_max(scored)
+    import math
+
+    from spiders_for_all_spark.functions.text import let
+
+    def _py_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    def scored(na):
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                        / (na * F.lit(_py_norm(c))),
+                        6,
+                    ).alias("cos"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, c in enumerate(centroids)
+            ]
+        )
+
+    from spiders_for_all_spark.functions.vectors import norm
+
+    best = F.array_max(let(norm(F.col(vec_col)), scored))
     out = emb.withColumn("cid", (-best.getField("ncid")).cast("int"))
     if with_cos:
         out = out.withColumn("centroid_cos", best.getField("cos"))
@@ -235,6 +258,153 @@ def kmeans_fit(
     return centroids
 
 
+def _default_pair_blocks(df: DataFrame) -> int:
+    """Tile width for the blocked pair scan: ~2·cores tasks per cluster
+    from nb(nb+1)/2 tiles -> nb ≈ sqrt(4·parallelism), floor 2.  Derived
+    from the session, not a constant, so the same code fans out on any
+    cluster width (guide §2: scale-adaptive partitioning)."""
+    import math
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return max(2, int(math.ceil(math.sqrt(4.0 * max(par, 1)))))
+
+
+def _pair_hit_ids(
+    p: DataFrame,
+    threshold: float,
+    id_col: str,
+    nb: int,
+) -> DataFrame:
+    """Distinct ids of rows having ANY same-cid peer at
+    round(dot(nv_l, nv_r), 6) >= threshold, where the peer is either a
+    lower-id row or a ``_lo_only`` row (committed-corpus rule: corpus
+    wins regardless of id).  ``p`` columns: id_col, ``cid``, ``_vec``
+    (raw float32 vector), ``_lo_only`` (bool).
+
+    This is the r06 replacement for the cid self-join pair scan: the
+    join on k≈4 cids ran the whole O(Σ c²) pair loop on ≤k tasks with an
+    interpreted zip_with+aggregate dot per pair (377 s at sf1.0).  Here
+    every row lands in nb deterministic tiles (blk = xxhash64(id) mod nb;
+    tile (i,j) = rows with blk∈{i,j}), giving nb(nb+1)/2 independent
+    tasks per cluster, and each task hands its block to NumPy/BLAS
+    (guide §4.2): one GEMM per tile instead of c²/nb² interpreted folds.
+
+    Bit-exactness vs the Catalyst/DuckDB form: normalization is the same
+    float64 sequential sum-of-squares + sqrt + elementwise divide; the
+    GEMM result decides only pairs ≥1e-9 away from the HALF_UP rounding
+    boundary (thr - 5e-7), and pairs inside that band are recomputed
+    with the exact sequential-order dot and java.math.BigDecimal
+    HALF_UP semantics (Decimal(repr(d)).quantize) — so the hit set is
+    identical to the interpreted evaluation, not approximately so.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    from pyspark.sql.types import StructField, StructType
+
+    thr = float(threshold)
+    out_schema = StructType([p.schema[id_col]])
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        _, ti, tj = key
+
+        def prep(sub):
+            ids = sub[id_col].to_numpy()
+            lo_only = sub["_lo_only"].to_numpy()
+            if not len(ids):
+                return ids, lo_only, np.zeros((0, 1))
+            x = np.stack(sub["_vec"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(x))
+            for k in range(x.shape[1]):
+                col = x[:, k]
+                acc = acc + col * col
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nv = x / np.sqrt(acc)[:, None]
+            return ids, lo_only, nv
+
+        def exact_hit(a, b) -> bool:
+            s = 0.0
+            for k in range(len(a)):
+                s = s + a[k] * b[k]
+            q = Decimal(repr(float(s))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            return float(q) >= thr
+
+        cut = thr - 5e-7
+        hit_ids: list = []
+
+        def scan(lo, hi):
+            """Append hi ids with any admissible lo peer >= threshold."""
+            ids_l, loo_l, nv_l = lo
+            ids_h, loo_h, nv_h = hi
+            if not len(ids_l) or not len(ids_h):
+                return
+            # verdicts only for non-corpus rows
+            hsel = ~loo_h
+            if not hsel.any():
+                return
+            ids_h, nv_h = ids_h[hsel], nv_h[hsel]
+            d = nv_l @ nv_h.T
+            mask = loo_l[:, None] | (ids_l[:, None] < ids_h[None, :])
+            # NaN (zero-norm vector): Spark/DuckDB order NaN above every
+            # value, so NaN >= threshold is a hit there — replicate it
+            definite = ((d >= cut + 1e-9) | np.isnan(d)) & mask
+            hit = definite.any(axis=0)
+            band = (d > cut - 1e-9) & (d < cut + 1e-9) & mask
+            if band.any():
+                for j in np.nonzero(band.any(axis=0) & ~hit)[0]:
+                    for i in np.nonzero(band[:, j])[0]:
+                        if exact_hit(nv_l[i], nv_h[j]):
+                            hit[j] = True
+                            break
+            hit_ids.extend(ids_h[hit].tolist())
+
+        if ti == tj:
+            side = prep(pdf)
+            scan(side, side)
+        else:
+            a = prep(pdf[pdf["_blk"] == ti])
+            b = prep(pdf[pdf["_blk"] == tj])
+            scan(a, b)
+            scan(b, a)
+        return pd.DataFrame({id_col: hit_ids}).astype(
+            {id_col: pdf.dtypes[id_col]}
+        )
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+    tiles = F.array(
+        *[
+            F.struct(
+                F.least(F.col("_blk"), F.lit(t)).alias("ti"),
+                F.greatest(F.col("_blk"), F.lit(t)).alias("tj"),
+            )
+            for t in range(nb)
+        ]
+    )
+    e = (
+        p.withColumn("_blk", blk)
+        .withColumn("_tile", F.explode(tiles))
+        .select(
+            F.col("_tile.ti").alias("_ti"),
+            F.col("_tile.tj").alias("_tj"),
+            "cid",
+            "_blk",
+            id_col,
+            "_vec",
+            "_lo_only",
+        )
+    )
+    return (
+        e.groupBy("cid", "_ti", "_tj")
+        .applyInPandas(kernel, out_schema)
+        .distinct()
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: list[list[float]],
@@ -263,29 +433,30 @@ def semantic_dedup(
     back on id only.  The reference has no embedding pipeline at all
     (it stores raw scraped rows, core/spider.py:196-236).
     """
-    a = ivf_assign(emb, centroids, vec_col, with_cos=True).select(
-        F.col(id_col), F.col(vec_col), "cid", "centroid_cos"
-    )
-    # normalize once per row so each pair costs ONE dot product (the
-    # pair loop runs HOF-interpreted: 3 dots per pair was the hot spot);
-    # self-join ONE projection so the cid exchange is computed once and
-    # the other side is a ReusedExchange, not a second scan+normalize
+    # parallelize the assignment map: the source is typically ONE small
+    # parquet file (1 scan task) while each row pays k interpreted
+    # cosine folds — a hash repartition of the narrow (id, vec) rows
+    # spreads that compute over the session's cores (per-row map, so
+    # partitioning cannot change any value)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = ivf_assign(
+        emb.repartition(par, F.col(id_col)), centroids, vec_col, with_cos=True
+    ).select(F.col(id_col), F.col(vec_col), "cid", "centroid_cos")
+    # r06: blocked NumPy pair scan (see _pair_hit_ids) instead of the cid
+    # self-join — same hit set, bit-exactly, without the ≤k-task skew or
+    # the interpreted per-pair dot
     p = a.select(
-        F.col(id_col).alias("_pid"),
-        l2_normalize(F.col(vec_col)).alias("_nv"),
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
         "cid",
+        F.lit(False).alias("_lo_only"),
     )
-    dropped = (
-        p.alias("l")
-        .join(p.alias("r"), "cid")
-        .filter(F.col("l._pid") < F.col("r._pid"))
-        .filter(
-            F.round(dot(F.col("l._nv"), F.col("r._nv")), 6) >= threshold
-        )
-        .select(F.col("r._pid").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(True))
-    )
+    dropped = _pair_hit_ids(
+        p, threshold, id_col, _default_pair_blocks(emb)
+    ).withColumn("_dup", F.lit(True))
+    # no broadcast hint: AQE converts this to a broadcast join when the
+    # dropped set is small, and keeps a shuffle join when it is not (the
+    # dropped side is O(n) ids in the worst case — never force it)
     return a.join(dropped, id_col, "left").select(
         id_col,
         "cid",
@@ -316,7 +487,13 @@ def prototype_prune(
     cid for the two windows — per-cluster sort of bounded cluster size
     (choose k as in :func:`semantic_dedup`); no pairwise work at all.
     """
-    a = ivf_assign(emb, centroids, vec_col, with_cos=True)
+    # hash-repartition before the assignment map: the source is usually a
+    # single small parquet file (1 scan task) while each row pays the
+    # interpreted cosine folds — per-row map, so values are unaffected
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = ivf_assign(
+        emb.repartition(par, F.col(id_col)), centroids, vec_col, with_cos=True
+    )
     w_rank = Window.partitionBy("cid").orderBy(
         F.desc("centroid_cos"), F.col(id_col)
     )
@@ -362,47 +539,37 @@ def semantic_dedup_incremental(
     rows enter the cosine pair work.  Set ``broadcast_keys=False`` for
     very large batches (shuffle semi-join, still O(batch + hits)).
     """
-    b = ivf_assign(batch, centroids, vec_col, with_cos=True).select(
-        F.col(id_col), F.col(vec_col), "cid", "centroid_cos"
-    )
+    par = batch.sparkSession.sparkContext.defaultParallelism
+    b = ivf_assign(
+        batch.repartition(par, F.col(id_col)), centroids, vec_col, with_cos=True
+    ).select(F.col(id_col), F.col(vec_col), "cid", "centroid_cos")
     keys = b.select("cid").distinct()
     if broadcast_keys:
         keys = F.broadcast(keys)
     cand = index.select(F.col(id_col), F.col(vec_col), "cid").join(
         keys, "cid"
     )
-    corpus_hit = (
-        b.select(
-            F.col(id_col).alias("_bi"),
-            l2_normalize(F.col(vec_col)).alias("_bv"),
-            "cid",
-        )
-        .join(
-            cand.select(l2_normalize(F.col(vec_col)).alias("_ov"), "cid"),
-            "cid",
-        )
-        .filter(F.round(dot(F.col("_bv"), F.col("_ov")), 6) >= threshold)
-        .select(F.col("_bi").alias(id_col))
-        .distinct()
-    )
+    # r06: ONE blocked NumPy pair pass covers both rules (see
+    # _pair_hit_ids): corpus rows enter lo-only (corpus wins regardless
+    # of id), batch rows enter both roles with the lower-id rule —
+    # replacing the two cid self/semi-joins whose interpreted per-pair
+    # dot ran on ≤k tasks (118 s at sf1.0)
     p = b.select(
-        F.col(id_col).alias("_pid"),
-        l2_normalize(F.col(vec_col)).alias("_nv"),
+        F.col(id_col),
+        F.col(vec_col).alias("_vec"),
         "cid",
-    )
-    batch_hit = (
-        p.alias("l")
-        .join(p.alias("r"), "cid")
-        .filter(F.col("l._pid") < F.col("r._pid"))
-        .filter(
-            F.round(dot(F.col("l._nv"), F.col("r._nv")), 6) >= threshold
+        F.lit(False).alias("_lo_only"),
+    ).unionByName(
+        cand.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_vec"),
+            "cid",
+            F.lit(True).alias("_lo_only"),
         )
-        .select(F.col("r._pid").alias(id_col))
-        .distinct()
     )
-    dropped = corpus_hit.union(batch_hit).distinct().withColumn(
-        "_dup", F.lit(True)
-    )
+    dropped = _pair_hit_ids(
+        p, threshold, id_col, _default_pair_blocks(batch)
+    ).withColumn("_dup", F.lit(True))
     return b.join(dropped, id_col, "left").select(
         id_col,
         "cid",

@@ -3012,7 +3012,11 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
-    index = SIM.ivf_assign(corpus, cents)
+    # hash-repartition the corpus before its assignment map — the single
+    # parquet file otherwise runs every interpreted cosine fold in ONE
+    # task (per-row map; values unaffected)
+    par = spark.sparkContext.defaultParallelism
+    index = SIM.ivf_assign(corpus.repartition(par, F.col("vec_id")), cents)
     return SIM.semantic_dedup_incremental(index, batch, cents, threshold=0.4)
 
 

@@ -465,3 +465,69 @@ def test_prototype_prune_small_cluster_floor_keeps_all(spark):
         emb, [[1.0, 0.0, 0.0, 0.0]], frac_ppm=250_000
     ).collect()
     assert all(r["kept"] for r in out)
+
+
+def test_pair_kernel_matches_interpreted_pair_scan(spark):
+    """r06 blocked-NumPy pair kernel == the old Catalyst pair scan.
+
+    Randomized embeddings (seeded) plus constructed pairs that land
+    EXACTLY on the HALF_UP rounding boundary of the 6-dp cosine; the
+    dropped set from semantic_dedup must equal the brute-force
+    interpreted form (l2_normalize + one dot per pair + F.round >= thr),
+    across block counts that do and do not split the clusters."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spiders_for_all_spark.functions.vectors import dot, l2_normalize
+
+    rng = random.Random(1234)
+    dim = 8
+    rows = []
+    for i in range(120):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in base]))
+        if i % 4 == 0:  # a deliberate near-dup of i at a higher id
+            rows.append(
+                (1000 + i, [float(x + rng.uniform(-1e-3, 1e-3)) for x in base])
+            )
+    # boundary construction: cos(a, b) with round(.,6) ties near 0.4
+    rows.append((5000, [1.0] + [0.0] * (dim - 1)))
+    for j, c in enumerate([0.3999995, 0.39999949999, 0.4000005, 0.3999985]):
+        s = (1.0 - c * c) ** 0.5
+        rows.append((5001 + j, [float(c), float(s)] + [0.0] * (dim - 2)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [r["embedding"] for r in emb.filter("vec_id < 2").collect()]
+
+    a = SIM.ivf_assign(emb, [list(map(float, c)) for c in cents])
+    p = a.select(
+        F.col("vec_id").alias("_pid"),
+        l2_normalize(F.col("embedding")).alias("_nv"),
+        "cid",
+    )
+    expected = {
+        r["vec_id"]
+        for r in p.alias("l")
+        .join(p.alias("r"), "cid")
+        .filter(F.col("l._pid") < F.col("r._pid"))
+        .filter(F.round(dot(F.col("l._nv"), F.col("r._nv")), 6) >= 0.4)
+        .select(F.col("r._pid").alias("vec_id"))
+        .distinct()
+        .collect()
+    }
+    for nb in (1, 3, 7):
+        got = {
+            r["vec_id"]
+            for r in SIM._pair_hit_ids(
+                a.select(
+                    "vec_id",
+                    F.col("embedding").alias("_vec"),
+                    "cid",
+                    F.lit(False).alias("_lo_only"),
+                ),
+                0.4,
+                "vec_id",
+                nb,
+            ).collect()
+        }
+        assert got == expected, f"nb={nb}"

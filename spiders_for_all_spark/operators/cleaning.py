@@ -34,6 +34,7 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spiders_for_all_spark.functions.partitioning import ensure_width
 from spiders_for_all_spark.functions.text import (
     let,
     normalize_text,
@@ -98,7 +99,9 @@ def passage_dedup(
     collapses map-side instead of hot-spotting one reducer the way a
     ``row_number`` window would.
     """
-    paras = df.select(
+    # width guard: the passage build + md5 runs twice (keeper agg + join
+    # side) and would otherwise run on ONE task off a single-file scan
+    paras = ensure_width(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.posexplode(passage_array(F.col(text_col), n_words)).alias(
             "pos", "passage"
@@ -206,7 +209,10 @@ def duplicated_gram_positions(
     an earlier one anywhere in the corpus (keeper = min (id, pos), the
     occurrence the dedup pass preserves).  ``pos`` is the 0-based word
     offset of the gram's first word."""
-    occ = df.select(
+    # width guard: the gram build + md5 is the expensive per-row stage;
+    # a single-file scan would otherwise run it on ONE task (no-op when
+    # the source is already wide — see functions/partitioning.py)
+    occ = ensure_width(df, id_col).select(
         F.col(id_col).cast("string").alias("_id"),
         F.posexplode(gram_array(F.col(text_col), k)).alias("pos", "gram"),
     ).select("_id", "pos", F.md5("gram").alias("h"))
@@ -385,7 +391,10 @@ def lm_perplexity(
     even w1 is unseen) — the held-out setup a quality classifier wants
     (Wenzek 2020 trains on Wikipedia, scores Common Crawl).
     """
-    bg = df.select(
+    # width guard on both streams: the normalize+split+bigram explode is
+    # the heavy per-row stage and (unspilled) feeds several consumers —
+    # single-file scans would run every one of them on ONE task
+    bg = ensure_width(df, id_col).select(
         F.col(id_col).cast("string").alias("_id"),
         F.explode(bigram_structs(F.col(text_col))).alias("b"),
     ).select("_id", "b.w1", "b.w2")
@@ -393,7 +402,7 @@ def lm_perplexity(
     if train_df is None:
         tb = bg
     else:
-        tb = train_df.select(
+        tb = ensure_width(train_df, id_col).select(
             F.explode(bigram_structs(F.col(text_col))).alias("b")
         ).select("b.w1", "b.w2")
         # the training stream feeds three consumers (c12/c1/vocab)
@@ -471,6 +480,9 @@ def scrub_documents(
     compliance pass needs).  Pure projection — runs at scan speed."""
     t = F.col(text_col)
     c = pii_counts(t)
+    # width guard: the sequential regex passes are the heavy per-row
+    # stage; single-file scans otherwise run them on one task
+    df = ensure_width(df, id_col)
     return df.select(
         F.col(id_col),
         pii_scrub(t).alias("text_scrubbed"),
@@ -552,6 +564,9 @@ def repetition_signals(
     t = F.col(text_col)
     dwf = dup_word_fraction(t)
     tbf = top_bigram_fraction(t)
+    # width guard: per-row HOF arithmetic; a single-file scan otherwise
+    # runs the whole corpus on one task (per-row map — values unchanged)
+    df = ensure_width(df, id_col)
     return df.select(
         F.col(id_col),
         token_count(t).alias("n_words"),
@@ -590,7 +605,9 @@ def winnow_fingerprints(
     min — no struct comparison, engine-invariant, and the same md5-conv
     idiom every seeded draw in this repo uses.
     """
-    grams = df.select(
+    # width guard: shingling + md5 is the heavy per-row stage (see
+    # functions/partitioning.py; no-op on an already-wide scan)
+    grams = ensure_width(df, id_col).select(
         F.col(id_col).cast("string").alias("_id"),
         F.posexplode(shingles(F.col(text_col), k)).alias("_rpos", "_g"),
     )
@@ -779,7 +796,9 @@ def gopher_signals(
     for exactly that use.
     """
     t = F.col(text_col)
-    base = df.select(
+    # width guard: per-row HOF arithmetic over the word/line arrays; a
+    # single-file scan otherwise runs the corpus on one task
+    base = ensure_width(df, id_col).select(
         F.col(id_col),
         _gopher_word_struct(t).alias("_w"),
         _gopher_line_struct(t).alias("_l"),

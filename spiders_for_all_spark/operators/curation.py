@@ -286,14 +286,19 @@ def dsir_scores(
         bigram_structs,
     )
 
-    sb = corpus.select(
+    from spiders_for_all_spark.functions.partitioning import ensure_width
+
+    # width guard on both streams: the normalize+split+bigram explode is
+    # re-run by every unspilled consumer, each serially off a
+    # single-file scan (see functions/partitioning.py)
+    sb = ensure_width(corpus, id_col).select(
         F.col(id_col).cast("string").alias("_id"),
         F.explode(bigram_structs(F.col(text_col))).alias("b"),
     ).select("_id", "b.w1", "b.w2")
     # the scoring stream feeds five consumers (score rows + the raw
     # model's c12/c1/vocab) — spill once when a scratch dir is given
     sb = _maybe_spill(sb, scratch_dir, "dsir-bigrams")
-    tb = target.select(
+    tb = ensure_width(target, id_col).select(
         F.explode(bigram_structs(F.col(text_col))).alias("b")
     ).select("b.w1", "b.w2")
     tb = _maybe_spill(tb, scratch_dir, "dsir-target-bigrams")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spiders_for_all_spark.functions.partitioning import ensure_width
 from spiders_for_all_spark.functions.text import fingerprint, shingles
 from spiders_for_all_spark.functions.vectors import cosine_rounded, lsh_bucket
 
@@ -29,7 +30,8 @@ from spiders_for_all_spark.functions.vectors import cosine_rounded, lsh_bucket
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per identical normalized text."""
     return (
-        df.withColumn("fp", fingerprint(F.col(text_col)))
+        ensure_width(df, id_col)
+        .withColumn("fp", fingerprint(F.col(text_col)))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
     )
@@ -57,6 +59,9 @@ def minhash_signature(
     shuffle on id_col.
     """
     assert n_hashes <= 8
+    # width guard: shingling + 2 md5s per shingle is the heavy stage
+    # (see functions/partitioning.py; no-op on an already-wide scan)
+    df = ensure_width(df, id_col)
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     ).withColumns(
@@ -65,13 +70,30 @@ def minhash_signature(
             "h2": F.md5(F.concat(F.lit("x:"), F.col("sh"))),
         }
     )
+    # r06: take the min over the 32-bit windows as LONGS, then format the
+    # winner back to the identical lowercase 8-hex-char string.  The
+    # fixed-width hex windows order lexicographically exactly as their
+    # numeric values, so min(long) == conv(min(hex string)) — but a
+    # string min buffer forces SortAggregate (a full sort of the shingle
+    # stream per task), while long buffers hash-aggregate with map-side
+    # combine.  Output strings are byte-identical to the old form.
     aggs = [
         F.min(
-            F.substring("h1" if i < 4 else "h2", (i % 4) * 8 + 1, 8)
-        ).alias(f"mh{i}")
+            F.conv(
+                F.substring("h1" if i < 4 else "h2", (i % 4) * 8 + 1, 8),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"_m{i}")
         for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"_m{i}")), 8, "0")).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
+    )
 
 
 def minhash_bands(sig: DataFrame, id_col: str = "doc_id", n_hashes: int = 8,
@@ -128,9 +150,17 @@ def minhash_candidate_pairs(
 
         bands = _maybe_spill(bands, scratch_dir, "minhash-bands")
     if star:
-        reps = bands.groupBy("band", "bucket").agg(F.min(id_col).alias("a"))
+        # r06: bucket-min via a WINDOW instead of the reps-agg + join —
+        # the join's two consumers each re-ran the whole shingle+hash
+        # subtree (no exchange reuse: the agg side's plan differs), so
+        # the corpus was signatured twice.  The window needs ONE exchange
+        # on (band, bucket) and one partition-local sort of the narrow
+        # band rows; the star edge set is identical.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
         return (
-            bands.join(reps, on=["band", "bucket"])
+            bands.withColumn("a", F.min(id_col).over(w))
             .filter(F.col(id_col) > F.col("a"))
             .select("a", F.col(id_col).alias("b"))
             .distinct()
@@ -165,7 +195,7 @@ def ngram_jaccard_pairs(
     |A∩B| via an equi-join on shingle, |A∪B| = |A|+|B|-|A∩B| — never an
     all-pairs product, only the candidate set is scored.
     """
-    sh = df.select(
+    sh = ensure_width(df, id_col).select(
         F.col(id_col), F.explode_outer(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count("sh").alias("n_sh"))
@@ -208,7 +238,8 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     grouping on the full 16-bit key finds heavy duplicates with one shuffle.
     """
     sh = (
-        df.select(
+        ensure_width(df, id_col)
+        .select(
             F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
         )
         .withColumn("h", F.md5(F.col("sh")))
@@ -520,16 +551,23 @@ def minhash_index_probe(
             "band", "bucket", F.col(id_col).alias("id"),
             F.lit(False).alias("is_new"),
         ).unionByName(n)
-    mins = members.groupBy("band", "bucket").agg(
-        F.min("id").alias("m_all"),
-        F.min(F.when(~F.col("is_new"), F.col("id"))).alias("m_old"),
+    # r06: bucket mins via ONE window pass over the members instead of a
+    # mins aggregation joined back to the batch rows — the join's two
+    # consumers re-ran the batch's shingle+hash subtree (no exchange
+    # reuse); the window needs one (band, bucket) exchange of the narrow
+    # member rows.  Edge sets are identical (repair rows collapse in the
+    # final distinct).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    m = members.withColumn("m_all", F.min("id").over(w)).withColumn(
+        "m_old", F.min(F.when(~F.col("is_new"), F.col("id"))).over(w)
     )
     star = (
-        n.join(mins, on=["band", "bucket"])
-        .filter(F.col("id") != F.col("m_all"))
+        m.filter(F.col("is_new") & (F.col("id") != F.col("m_all")))
         .select(F.col("m_all").alias("a"), F.col("id").alias("b"))
     )
-    repair = mins.filter(
+    repair = m.filter(
         F.col("m_old").isNotNull() & (F.col("m_old") != F.col("m_all"))
     ).select(F.col("m_all").alias("a"), F.col("m_old").alias("b"))
     return star.unionByName(repair).distinct()

@@ -1110,7 +1110,10 @@ _WORDS_SQL = f"string_split({_NORM_SQL}, ' ')"
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    from spiders_for_all_spark.functions.partitioning import ensure_width
+
+    # width guard: 5 per-row HOF/regex metrics off a single-file scan
+    d = ensure_width(_docs(spark, sf_dir), "doc_id")
     t = F.col("text")
     return d.select(
         "doc_id",

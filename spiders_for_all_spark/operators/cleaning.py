@@ -94,10 +94,15 @@ def passage_dedup(
     reassemble the surviving text per document.
 
     Returns (id, n_passages, n_kept, text_kept).  The keeper election is
-    ``min(struct(id, pos))`` grouped by passage hash — a partial
-    aggregation, so a boilerplate passage repeated a billion times
-    collapses map-side instead of hot-spotting one reducer the way a
-    ``row_number`` window would.
+    ``min(struct(id, pos))`` over a window keyed by passage hash: every
+    occurrence must reach the flagging stage anyway (the old
+    stats-agg+join shuffled all of them by hash too, and re-ran the
+    passage build + md5 once per join side), so the single-pass window
+    costs the same exchange with half the compute.  The unbounded
+    min/count frames evaluate once per hash partition (linear, not
+    per-row), so a boilerplate passage repeated a billion times is O(n)
+    in one task — identical to what its join-side occurrence stream
+    already was.
     """
     # width guard: the passage build + md5 runs twice (keeper agg + join
     # side) and would otherwise run on ONE task off a single-file scan
@@ -107,10 +112,12 @@ def passage_dedup(
             "pos", "passage"
         ),
     ).withColumn("h", F.md5("passage"))
-    keepers = paras.groupBy("h").agg(
-        F.min(F.struct("_id", "pos")).alias("k")
-    )
-    flagged = paras.join(keepers, "h").withColumn(
+    # r06: keeper election via ONE window pass instead of a keepers
+    # aggregation joined back to the passage stream (the join re-ran the
+    # passage build + md5 for each side; same rows, one exchange)
+    flagged = paras.withColumn(
+        "k", F.min(F.struct("_id", "pos")).over(Window.partitionBy("h"))
+    ).withColumn(
         "kept",
         (F.col("_id") == F.col("k._id")) & (F.col("pos") == F.col("k.pos")),
     )
@@ -145,9 +152,11 @@ def passage_dedup(
 # marked word ranges are merged per document into maximal removal spans
 # (gaps-and-islands).  Shuffle discipline: only (hash, id, pos) triples
 # ride the gram shuffle — never text; the keeper election is a
-# partial-aggregatable min(struct) (map-side combine absorbs boilerplate
-# skew); the island merge windows over doc_id, the same key every per-doc
-# agg shuffles on.
+# single-pass count+min window over the hash (every occurrence reaches
+# the marking stage regardless, so the one exchange is shared instead of
+# re-shingling the corpus per join side; unbounded frames evaluate once
+# per hash partition, linear under boilerplate skew); the island merge
+# windows over doc_id, the same key every per-doc agg shuffles on.
 
 
 def gram_array(text: Column, k: int = 8) -> Column:
@@ -217,13 +226,19 @@ def duplicated_gram_positions(
         F.posexplode(gram_array(F.col(text_col), k)).alias("pos", "gram"),
     ).select("_id", "pos", F.md5("gram").alias("h"))
     occ = _maybe_spill(occ, scratch_dir, f"substring-occ-k{k}")
-    stats = occ.groupBy("h").agg(
-        F.count("*").alias("n"), F.min(F.struct("_id", "pos")).alias("k0")
-    )
+    # r06: per-hash count + keeper via ONE window pass instead of a
+    # stats aggregation joined back to the occurrence stream — the
+    # join's two consumers each re-ran the gram build + md5 from the
+    # scan (the agg side's exchange subtree differs, so no reuse); the
+    # window needs one exchange of the narrow (h, id, pos) triples and
+    # selects exactly the same rows.
+    w = Window.partitionBy("h")
     return (
-        occ.join(stats.filter(F.col("n") > 1), "h")
+        occ.withColumn("n", F.count("*").over(w))
+        .withColumn("k0", F.min(F.struct("_id", "pos")).over(w))
         .filter(
-            ~(
+            (F.col("n") > 1)
+            & ~(
                 (F.col("_id") == F.col("k0._id"))
                 & (F.col("pos") == F.col("k0.pos"))
             )

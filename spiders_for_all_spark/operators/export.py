@@ -132,6 +132,12 @@ def shard_manifest(
     """
     order = _draw32("ord", id_col, seed)
     shard = (_draw32("shard", id_col, seed) % n_shards).cast("int")
+    # width guard: the per-row md5 draws + token_count dominate; a
+    # single-file scan otherwise runs them on one task (see
+    # functions/partitioning.py — no-op when already wide)
+    from spiders_for_all_spark.functions.partitioning import ensure_width
+
+    df = ensure_width(df, id_col)
     return (
         df.select(
             shard.alias("shard"),

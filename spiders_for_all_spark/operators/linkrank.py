@@ -60,12 +60,27 @@ def pagerank(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),
     )
+    if n_iter > 1:
+        # r06: e / deg / nodes are loop INVARIANTS, but each iteration's
+        # plan re-expanded (and re-computed) their subtrees.  Materialize
+        # them once, hash-partitioned on their join keys: deg derives
+        # from the src-partitioned e without another exchange, and the
+        # per-iteration joins against e (src) and nodes (node) then
+        # reuse the materialized partitioning — each iteration pays only
+        # its two inherent exchanges (ranks→src, contribution agg→node).
+        # localCheckpoint also truncates the growing lineage (same role
+        # as the existing checkpoint_every, now from iteration 0).
+        par = edges.sparkSession.sparkContext.defaultParallelism
+        e = _truncate(e.repartition(par, F.col("src")))
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if n_iter > 1:
+        deg = _truncate(deg)
+        nodes = _truncate(nodes)
     ranks = nodes.withColumn("rank_ppm", F.lit(PPM).cast("bigint"))
     for i in range(n_iter):
         contrib = (

@@ -43,6 +43,11 @@ def global_token_offsets(
     :func:`token_budget_sample`."""
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     bucket = F.substring(key, 1, 2)  # hex prefix byte: 256 buckets
+    # width guard: the per-row md5 draw + token_count dominate; a
+    # single-file scan otherwise runs them on one task
+    from spiders_for_all_spark.functions.partitioning import ensure_width
+
+    docs = ensure_width(docs, id_col)
     toks = docs.select(
         F.col(id_col),
         key.alias("_key"),

@@ -17,7 +17,25 @@ from spiders_for_all_spark.functions.vectors import (
     dot,
     l2_normalize,
     lsh_bucket,
+    norm,
 )
+
+
+def _cos_to_query(vec_col: str, query_vec: list[float]):
+    """round(dot(v, q) / (norm(v) * norm(q)), 6) with norm(q) hoisted to
+    a Python-computed literal (same sequential float64 sum + sqrt, so the
+    value is bit-identical to the in-plan fold) — 3 interpreted folds per
+    row become 2."""
+    import math
+
+    acc = 0.0
+    for x in query_vec:
+        acc = acc + float(x) * float(x)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return F.round(
+        dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(math.sqrt(acc))),
+        6,
+    )
 
 
 def brute_force_topk(
@@ -32,9 +50,8 @@ def brute_force_topk(
     orderBy+limit compiles to TakeOrderedAndProject: each partition keeps a
     k-heap, the driver merges — no global sort at any scale.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = emb.select(
-        F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
+        F.col(id_col), _cos_to_query(vec_col, query_vec).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -106,11 +123,12 @@ def lsh_ann_topk(
     materialized partition column (see :func:`materialize_lsh_buckets`).
     """
     probes = probe_buckets(query_vec, n_planes, dim, multiprobe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col(vec_col), n_planes, dim))
+    bucketed = emb.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), n_planes, dim)
+    )
     cands = bucketed.filter(F.col("bucket").isin(*probes))
     scored = cands.select(
-        F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
+        F.col(id_col), _cos_to_query(vec_col, query_vec).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -210,12 +228,11 @@ def ivf_ann_topk(
     (:func:`materialize_ivf_lists`) the `cid IN (...)` filter prunes at
     the scan."""
     probes = ivf_probe_lists(query_vec, centroids, nprobe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cands = ivf_assign(emb, centroids, vec_col).filter(
         F.col("cid").isin(*probes)
     )
     scored = cands.select(
-        F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
+        F.col(id_col), _cos_to_query(vec_col, query_vec).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
 
@@ -628,9 +645,8 @@ def lsh_ann_topk_materialized(
     buckets' files are ever opened (verified in PLANS.md)."""
     probes = probe_buckets(query_vec, n_planes, dim, multiprobe)
     df = spark.read.parquet(index_path)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     cands = df.filter(F.col("bucket").isin(*probes))
     scored = cands.select(
-        F.col(id_col), cosine_rounded(F.col(vec_col), q).alias("cos")
+        F.col(id_col), _cos_to_query(vec_col, query_vec).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

@@ -541,9 +541,13 @@ def crawl_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-fetches everything on every run (core/spider.py:196-236); this is
     the operator that makes a 10^10-URL frontier affordable to keep fresh.
     """
+    from spiders_for_all_spark.functions.partitioning import ensure_width
     from spiders_for_all_spark.operators.recrawl import recrawl_schedule
 
-    f = _t(spark, sf_dir, "events").select(
+    # width guard keyed on the URL key the downstream window partitions
+    # by: the md5 fingerprints then compute post-exchange on every core,
+    # and the window reuses this exact partitioning — still ONE exchange
+    f = ensure_width(_t(spark, sf_dir, "events"), "user_id").select(
         F.col("user_id").alias("url_id"),
         "ts",
         F.col("event_id").alias("fetch_id"),

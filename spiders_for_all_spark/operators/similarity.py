@@ -275,15 +275,19 @@ def kmeans_fit(
     return centroids
 
 
-def _default_pair_blocks(df: DataFrame) -> int:
-    """Tile width for the blocked pair scan: ~2·cores tasks per cluster
-    from nb(nb+1)/2 tiles -> nb ≈ sqrt(4·parallelism), floor 2.  Derived
-    from the session, not a constant, so the same code fans out on any
-    cluster width (guide §2: scale-adaptive partitioning)."""
+def _default_pair_blocks(df: DataFrame, n_clusters: int = 1) -> int:
+    """Tile width for the blocked pair scan: ~2·cores tasks TOTAL from
+    k·nb(nb+1)/2 tiles -> nb ≈ sqrt(4·parallelism / k), floor 1.
+    Derived from the session and the cluster count, not a constant, so
+    the same code fans out on any cluster width (guide §2) — and with a
+    properly sized k ≈ n/c (many small clusters) nb collapses to 1,
+    i.e. one task per cluster with no replication at all."""
     import math
 
     par = df.sparkSession.sparkContext.defaultParallelism
-    return max(2, int(math.ceil(math.sqrt(4.0 * max(par, 1)))))
+    return max(
+        1, int(math.ceil(math.sqrt(4.0 * max(par, 1) / max(n_clusters, 1))))
+    )
 
 
 def _pair_hit_ids(
@@ -314,26 +318,35 @@ def _pair_hit_ids(
     HALF_UP semantics (Decimal(repr(d)).quantize) — so the hit set is
     identical to the interpreted evaluation, not approximately so.
     """
-    import pandas as pd  # noqa: F401 — applyInPandas contract
-
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import StructType
 
     thr = float(threshold)
     out_schema = StructType([p.schema[id_col]])
 
-    def kernel(key, pdf):
+    def kernel(key, table):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
         from decimal import ROUND_HALF_UP, Decimal
 
-        _, ti, tj = key
+        # applyInArrow keys arrive as pyarrow scalars
+        ti, tj = key[1].as_py(), key[2].as_py()
+        id_type = table.schema.field(id_col).type
+        ids_all = table.column(id_col).to_numpy(zero_copy_only=False)
+        loo_all = table.column("_lo_only").to_numpy(zero_copy_only=False)
+        vec = table.column("_vec").combine_chunks()
+        dim = len(vec[0]) if len(vec) else 1
+        x_all = (
+            vec.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(ids_all), dim)
+            if len(ids_all)
+            else np.zeros((0, 1))
+        )
 
-        def prep(sub):
-            ids = sub[id_col].to_numpy()
-            lo_only = sub["_lo_only"].to_numpy()
+        def prep(sel):
+            ids, lo_only, x = ids_all[sel], loo_all[sel], x_all[sel]
             if not len(ids):
-                return ids, lo_only, np.zeros((0, 1))
-            x = np.stack(sub["_vec"].to_numpy()).astype(np.float64)
+                return ids, lo_only, x
             acc = np.zeros(len(x))
             for k in range(x.shape[1]):
                 col = x[:, k]
@@ -381,16 +394,15 @@ def _pair_hit_ids(
             hit_ids.extend(ids_h[hit].tolist())
 
         if ti == tj:
-            side = prep(pdf)
+            side = prep(slice(None))
             scan(side, side)
         else:
-            a = prep(pdf[pdf["_blk"] == ti])
-            b = prep(pdf[pdf["_blk"] == tj])
+            blk = table.column("_blk").to_numpy(zero_copy_only=False)
+            a = prep(blk == ti)
+            b = prep(blk == tj)
             scan(a, b)
             scan(b, a)
-        return pd.DataFrame({id_col: hit_ids}).astype(
-            {id_col: pdf.dtypes[id_col]}
-        )
+        return pa.table({id_col: pa.array(hit_ids, type=id_type)})
 
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
     tiles = F.array(
@@ -417,7 +429,7 @@ def _pair_hit_ids(
     )
     return (
         e.groupBy("cid", "_ti", "_tj")
-        .applyInPandas(kernel, out_schema)
+        .applyInArrow(kernel, out_schema)
         .distinct()
     )
 
@@ -469,7 +481,7 @@ def semantic_dedup(
         F.lit(False).alias("_lo_only"),
     )
     dropped = _pair_hit_ids(
-        p, threshold, id_col, _default_pair_blocks(emb)
+        p, threshold, id_col, _default_pair_blocks(emb, len(centroids))
     ).withColumn("_dup", F.lit(True))
     # no broadcast hint: AQE converts this to a broadcast join when the
     # dropped set is small, and keeps a shuffle join when it is not (the
@@ -585,7 +597,7 @@ def semantic_dedup_incremental(
         )
     )
     dropped = _pair_hit_ids(
-        p, threshold, id_col, _default_pair_blocks(batch)
+        p, threshold, id_col, _default_pair_blocks(batch, len(centroids))
     ).withColumn("_dup", F.lit(True))
     return b.join(dropped, id_col, "left").select(
         id_col,

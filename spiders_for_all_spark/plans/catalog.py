@@ -1258,10 +1258,26 @@ def _fetchlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a1_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — success/failure counters as queryable per-round aggregations
-    (reference keeps in-memory tallies: core/downloader.py:501-502)."""
+    (reference keeps in-memory tallies: core/downloader.py:501-502).
+
+    The ok/failed/dead_lettered columns are cast to double for the
+    driver hasher ONLY: the oracle's uncast sum(CASE..) is a DuckDB
+    HUGEINT, which reaches a pandas-based comparator as float64 (5000.0,
+    not 5000) — the r05 hash_match=false root cause.  The values are
+    exact small integers (double-representable), and every aggregation
+    underneath stays pure-integer (the A1 invariant)."""
     from spiders_for_all_spark.operators.metrics import round_metrics
 
-    return round_metrics(_fetchlog(spark, sf_dir))
+    m = round_metrics(_fetchlog(spark, sf_dir))
+    return m.select(
+        "round",
+        "fetched",
+        F.col("ok").cast("double").alias("ok"),
+        F.col("failed").cast("double").alias("failed"),
+        F.col("dead_lettered").cast("double").alias("dead_lettered"),
+        "avg_latency_us",
+        "n_partitions",
+    )
 
 
 @_register(
@@ -1277,10 +1293,19 @@ def a1_round_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a1_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 — per-(round, partition) fetch lineage: the north_rule's
     "per-partition lineage + metrics" as a queryable aggregation over the
-    committed fetch_log (operators/metrics.py:partition_metrics)."""
+    committed fetch_log (operators/metrics.py:partition_metrics).  The
+    ok column is cast to double for the driver hasher only — same
+    HUGEINT-to-float64 rationale as a1_round_metrics."""
     from spiders_for_all_spark.operators.metrics import partition_metrics
 
-    return partition_metrics(_fetchlog(spark, sf_dir))
+    m = partition_metrics(_fetchlog(spark, sf_dir))
+    return m.select(
+        "round",
+        "partition_id",
+        "fetched",
+        F.col("ok").cast("double").alias("ok"),
+        "avg_latency_us",
+    )
 
 
 @_register(
@@ -2644,9 +2669,11 @@ def curation_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast thresholds + expression filter; never shuffled."""
     from spiders_for_all_spark.operators.curation import mixture_resample
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
-    )
+    # doc_id stays BIGINT end-to-end: the oracle projects the raw int64
+    # column, and the r05 driver red was exactly this str-vs-int skew
+    # (the md5 draw casts the id to string internally, so the accept set
+    # is unchanged).
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return mixture_resample(d, _RESAMPLE_TARGET).select("doc_id", "lang")
 
 

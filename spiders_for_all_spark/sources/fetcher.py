@@ -125,7 +125,14 @@ def partition_for_fetch(
         return scheduled
     if colocate_hosts:
         return scheduled.repartition(partitions, "host")
-    return scheduled.repartition(partitions)
+    # balanced spread WITHOUT round-robin: a keyless repartition(n) first
+    # pays a local sort of its whole input (sortBeforeRepartition, needed
+    # so retries reproduce the row→partition map); hashing the already-
+    # deterministic url_hash spreads ~as evenly (10^6 distinct keys into
+    # n partitions), is retry-stable by construction, and skips the sort.
+    from pyspark.sql import functions as F
+
+    return scheduled.repartition(partitions, F.xxhash64("url_hash"))
 
 
 class SyntheticFetcher:
@@ -418,23 +425,36 @@ class ProceduralFetcher:
         out_cols = [f.name for f in out_schema.fields]
         k = self.items_per_page
 
+        # the body template around each of the k url references, flattened
+        # so the whole batch synthesizes as ONE native Arrow element-wise
+        # join (guide §4.2: vectorized kernels, not per-row Python) —
+        # byte-identical to the original per-row f-string construction
+        pieces: list[str] = ['{"code": 0, "message": "ok", "data": {"list": [']
+        for i in range(k):
+            if i:
+                pieces[-1] += ", "
+            pieces[-1] += '{"id": "'
+            pieces += [
+                f'#item{i}", "title": "t{i}", "desc": "desc of ',
+                f" item {i}\", \"images\": [\"",
+                f'/img{i}.jpg"], "videos": []}}',
+            ]
+        pieces[-1] += '], "out_links": []}}'
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx else -1
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                bodies = [
-                    '{"code": 0, "message": "ok", "data": {"list": ['
-                    + ", ".join(
-                        f'{{"id": "{u}#item{i}", "title": "t{i}", '
-                        f'"desc": "desc of {u} item {i}", '
-                        f'"images": ["{u}/img{i}.jpg"], "videos": []}}'
-                        for i in range(k)
-                    )
-                    + '], "out_links": []}}'
-                    for u in pdf["url"]
-                ]
+                u = pa.array(pdf["url"], type=pa.string())
+                args: list = [pieces[0]]
+                for tail in pieces[1:]:
+                    args += [u, tail]
+                bodies = pc.binary_join_element_wise(*args, "").to_pandas()
                 yield pdf.assign(
                     status=pd.array([200] * len(pdf), dtype="int32"),
                     body=bodies,

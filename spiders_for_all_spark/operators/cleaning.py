@@ -671,9 +671,12 @@ def winnow_candidate_pairs(
         .select(id_col, "fp")
         .distinct()
     )
-    rep = fps.groupBy("fp").agg(F.min(id_col).alias("a"))
+    # r06: bucket-min via a window instead of a rep-agg joined back to
+    # the fingerprint rows — the join's two consumers re-ran the whole
+    # shingle+winnow subtree (same fix as minhash_candidate_pairs)
+    wspec = Window.partitionBy("fp")
     return (
-        fps.join(rep, "fp")
+        fps.withColumn("a", F.min(id_col).over(wspec))
         .filter(F.col(id_col) != F.col("a"))
         .select("a", F.col(id_col).alias("b"))
         .distinct()

@@ -312,9 +312,14 @@ def connected_components(
         )
 
     edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
-    edges = (
-        edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
-        .distinct()
+    # r06: edges are a loop INVARIANT — truncate once so each iteration
+    # joins against the materialized edge list instead of re-running the
+    # whole candidate-pair pipeline (LSH shingle+band for minhash input)
+    # inside every round's plan.
+    edges = _truncate(
+        edges.unionByName(
+            edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        ).distinct()
     )
     labels = _truncate(
         edges.select("x").distinct().withColumn("label", F.col("x"))

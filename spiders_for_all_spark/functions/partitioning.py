@@ -25,9 +25,26 @@ from pyspark.sql import functions as F
 
 def ensure_width(df: DataFrame, key: str | Column) -> DataFrame:
     """Hash-repartition ``df`` by ``key`` to the session default
-    parallelism iff the current plan has fewer partitions than that."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    parallelism iff the current plan has fewer partitions than that.
+
+    The width probe runs with AQE disabled: under AQE, ``df.rdd`` on a
+    plan that contains an exchange EXECUTES the upstream query stages
+    eagerly (AdaptiveSparkPlanExec finalizes on RDD conversion) — a
+    whole wasted job per probe.  Non-adaptive RDD conversion is pure
+    planning (zero jobs), and its static partition count makes the right
+    call either way: a plan with an exchange below reports the session
+    shuffle partitioning (already wide -> no-op), a bare scan reports
+    its file splits.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        n = df.rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    if n >= par:
         return df
     k = F.col(key) if isinstance(key, str) else key
     return df.repartition(par, k)

@@ -48,10 +48,20 @@ def global_token_offsets(
     from spiders_for_all_spark.functions.partitioning import ensure_width
 
     docs = ensure_width(docs, id_col)
+    # Determinism fence (the parse_stage/ivf_assign pathology): the
+    # broadcast join on _bucket makes the optimizer infer
+    # isnotnull(_bucket), and pushdown inlines the md5 draw into a Filter
+    # below this projection — an extra full-stream md5+substring pass
+    # that can never prune a scan (the key is computed).  The
+    # tautological nondeterministic guard pins it above the projection;
+    # values unchanged (spark_partition_id() >= 0 always holds, and the
+    # never-taken coalesce arm keeps _bucket non-nullable).
     toks = docs.select(
         F.col(id_col),
         key.alias("_key"),
-        bucket.alias("_bucket"),
+        F.coalesce(
+            F.when(F.spark_partition_id() >= F.lit(0), bucket), F.lit("")
+        ).alias("_bucket"),
         token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
     )
     in_bucket = Window.partitionBy("_bucket").orderBy("_key", id_col)

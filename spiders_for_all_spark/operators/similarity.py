@@ -194,7 +194,28 @@ def ivf_assign(
     from spiders_for_all_spark.functions.vectors import norm
 
     best = F.array_max(let(norm(F.col(vec_col)), scored))
-    out = emb.withColumn("cid", (-best.getField("ncid")).cast("int"))
+    # Determinism fence (same pathology + fix as parse_stage's docs alias):
+    # downstream joins/groupBys on cid make the optimizer infer
+    # isnotnull(cid), and predicate pushdown substitutes the alias —
+    # inlining the FULL k-cosine argmax chain into a Filter below this
+    # projection, so every row pays the assignment twice (visible in the
+    # pre-fix plans/r06/dedup_semantic_incremental_mid_prefence.txt scan
+    # Conditions).  cid is computed, never a scan column, so no pushdown
+    # can ever prune I/O with it; the tautological nondeterministic guard
+    # (spark_partition_id() >= 0 is always true, bounds-opaque, can't be
+    # constant-folded like rand() comparisons) pins such filters above the
+    # projection where they test the attribute.  Values unchanged; the
+    # never-taken coalesce arm keeps cid non-nullable.
+    out = emb.withColumn(
+        "cid",
+        F.coalesce(
+            F.when(
+                F.spark_partition_id() >= F.lit(0),
+                (-best.getField("ncid")).cast("int"),
+            ),
+            F.lit(-1).cast("int"),
+        ),
+    )
     if with_cos:
         out = out.withColumn("centroid_cos", best.getField("cos"))
     return out
